@@ -1,0 +1,409 @@
+"""DualAR transformer — TPU-native implementation.
+
+Behavioral counterpart of the reference's `DualARTransformer`
+(reference: fish_speech_core/lib/lm/dual_ar.rs:443-713), redesigned for
+XLA's compilation model instead of candle's eager graphs:
+
+* KV caches are pre-allocated static buffers `(L, B, KV, S_max, hd)`
+  updated in place with `lax.dynamic_update_slice` / scatter — the
+  reference's per-step `Tensor::cat` (dual_ar.rs:316-324) reallocates
+  every step and would force a recompile per shape under XLA.
+* Decode tracks a position PER BATCH ROW, so rows with different prompt
+  lengths decode together without left-padding. This is what enables
+  continuous batching in the server (the reference left-pads into a
+  static batch and its pad mask is dead code — dual_ar.rs:589-615,
+  SURVEY §2.5; here padding is handled correctly by construction).
+* Layers run under `lax.scan` over a stacked `(L, ...)` parameter
+  pytree: one compiled block regardless of depth, and a natural layout
+  for tensor-parallel sharding along the hidden axes.
+* GQA never materializes repeated KV heads (see ops/attention.py); this
+  replaces the reference's custom CUDA `repeat_kv` kernel
+  (candle-gqa-kernels/src/unary.cu).
+* Masks are additive biases built on device (the reference builds a u8
+  mask on the CPU every step, dual_ar.rs:702-712).
+* "Clearing" the cache back to a conditioning prefix
+  (dual_ar.rs:687-693) is free: the engine rewinds its per-row length
+  counter and stale positions are masked out.
+
+Parameter layout: all linear weights are stored as (in, out) so the
+forward pass is `x @ w`; the checkpoint loader transposes from torch's
+(out, in).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fish_speech_tpu.config import DualARConfig, TokenConfig
+from fish_speech_tpu.ops.attention import NEG_INF, gqa_attention
+from fish_speech_tpu.ops.norms import rms_norm
+from fish_speech_tpu.ops.rope import apply_rope_interleaved, precompute_freqs_cis
+
+# A DualARParams is a nested dict:
+# {
+#   "embeddings":          (V, D)
+#   "codebook_embeddings": (C*CB, D)
+#   "fast_embeddings":     (fast_vocab, D)
+#   "norm":                (D,)
+#   "fast_norm":           (D,)
+#   "output":              (D, V)        # embeddings.T if tie_word_embeddings
+#   "fast_output":         (D, fast_out)
+#   "slow": { stacked (L, ...) arrays: wqkv, wo, w1, w2, w3,
+#             attention_norm, ffn_norm }
+#   "fast": { same, stacked (L_fast, ...) }
+# }
+DualARParams = Dict[str, Any]
+
+
+class KVCache(NamedTuple):
+    """Static KV cache for one transformer stack: (L, B, KV, S, hd)."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+    @staticmethod
+    def init(
+        n_layer: int,
+        batch: int,
+        n_kv_heads: int,
+        max_len: int,
+        head_dim: int,
+        dtype=jnp.bfloat16,
+    ) -> "KVCache":
+        shape = (n_layer, batch, n_kv_heads, max_len, head_dim)
+        return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def _stack_init(rng, n_layer: int, cfg: DualARConfig, dtype) -> Dict[str, jnp.ndarray]:
+    d, f = cfg.dim, cfg.ffn_dim
+    qkv_out = (cfg.n_head + 2 * cfg.n_local_heads) * cfg.head_dim
+    keys = jax.random.split(rng, 5)
+    scale = cfg.initializer_range
+
+    def w_init(key, shape):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "wqkv": w_init(keys[0], (n_layer, d, qkv_out)),
+        "wo": w_init(keys[1], (n_layer, d, d)),
+        "w1": w_init(keys[2], (n_layer, d, f)),
+        "w3": w_init(keys[3], (n_layer, d, f)),
+        "w2": w_init(keys[4], (n_layer, f, d)),
+        "attention_norm": jnp.ones((n_layer, d), dtype),
+        "ffn_norm": jnp.ones((n_layer, d), dtype),
+    }
+
+
+def init_dual_ar_params(
+    rng: jax.Array, cfg: DualARConfig, dtype=jnp.bfloat16
+) -> DualARParams:
+    """Random-init parameters (for tests and benchmarks without weights)."""
+    keys = jax.random.split(rng, 8)
+    scale = cfg.initializer_range
+
+    def w_init(key, shape):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    emb = w_init(keys[0], (cfg.vocab_size, cfg.dim))
+    return {
+        "embeddings": emb,
+        "codebook_embeddings": w_init(
+            keys[1], (cfg.codebook_size * cfg.num_codebooks, cfg.dim)
+        ),
+        "fast_embeddings": w_init(keys[2], (cfg.fast_vocab_size, cfg.dim)),
+        "norm": jnp.ones((cfg.dim,), dtype),
+        "fast_norm": jnp.ones((cfg.dim,), dtype),
+        "output": emb.T
+        if cfg.tie_word_embeddings
+        else w_init(keys[3], (cfg.dim, cfg.vocab_size)),
+        "fast_output": w_init(keys[4], (cfg.dim, cfg.fast_output_size)),
+        "slow": _stack_init(keys[5], cfg.n_layer, cfg, dtype),
+        "fast": _stack_init(keys[6], cfg.n_fast_layer, cfg, dtype),
+    }
+
+
+# --------------------------------------------------------------------------
+# Embedding
+# --------------------------------------------------------------------------
+
+
+def embed_tokens(
+    params: DualARParams,
+    cfg: DualARConfig,
+    token_cfg: TokenConfig,
+    tokens: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sum semantic-token and (masked) codebook embeddings.
+
+    tokens: (B, num_codebooks + 1, S) int32 -> (B, S, D).
+    Codebook embeddings only contribute at positions whose semantic token
+    is inside the semantic range (1.5+) or equals PAD (<=1.4)
+    (reference: dual_ar.rs:532-567).
+    """
+    semantic = tokens[:, 0, :]  # (B, S)
+    codebooks = tokens[:, 1:, :]  # (B, C, S)
+
+    sem_emb = jnp.take(params["embeddings"], semantic, axis=0)  # (B, S, D)
+
+    offsets = (
+        jnp.arange(cfg.num_codebooks, dtype=tokens.dtype) * cfg.codebook_size
+    )[None, :, None]
+    cb_emb = jnp.take(
+        params["codebook_embeddings"], codebooks + offsets, axis=0
+    )  # (B, C, S, D)
+
+    if token_cfg.semantic_end_id is not None:
+        keep = (semantic >= token_cfg.semantic_start_id) & (
+            semantic <= token_cfg.semantic_end_id
+        )
+    else:
+        keep = semantic == token_cfg.semantic_start_id
+    cb_sum = jnp.sum(cb_emb, axis=1)  # (B, S, D)
+    return sem_emb + jnp.where(keep[..., None], cb_sum, 0).astype(sem_emb.dtype)
+
+
+# --------------------------------------------------------------------------
+# Transformer stack (shared by slow and fast paths)
+# --------------------------------------------------------------------------
+
+
+def _project_qkv(x, lp, cfg: DualARConfig):
+    b, s, _ = x.shape
+    qkv = x @ lp["wqkv"]  # (B, S, (H+2KV)*hd)
+    q_sz = cfg.n_head * cfg.head_dim
+    kv_sz = cfg.n_local_heads * cfg.head_dim
+    q = qkv[..., :q_sz].reshape(b, s, cfg.n_head, cfg.head_dim)
+    k = qkv[..., q_sz : q_sz + kv_sz].reshape(b, s, cfg.n_local_heads, cfg.head_dim)
+    v = qkv[..., q_sz + kv_sz :].reshape(b, s, cfg.n_local_heads, cfg.head_dim)
+    # -> (B, heads, S, hd)
+    return (
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+    )
+
+
+def _layer_prefill(x, lp, ck, cv, cos, sin, mask, slot, offset, cfg: DualARConfig):
+    """One block over a contiguous row range [slot, slot+B) at seq offset.
+
+    x: (B, S, D); ck/cv: (B_total, KV, S_max, hd). Returns updated row
+    cache written back into the full buffer.
+    """
+    b, s, d = x.shape
+    h = rms_norm(x, lp["attention_norm"], cfg.norm_eps)
+    q, k, v = _project_qkv(h, lp, cfg)
+    q = apply_rope_interleaved(q, cos, sin)
+    k = apply_rope_interleaved(k, cos, sin)
+
+    ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (slot, 0, offset, 0))
+    cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (slot, 0, offset, 0))
+    rows_k = jax.lax.dynamic_slice_in_dim(ck, slot, b, axis=0)
+    rows_v = jax.lax.dynamic_slice_in_dim(cv, slot, b, axis=0)
+
+    scale = 1.0 / (cfg.head_dim**0.5)
+    attn = gqa_attention(q, rows_k, rows_v, mask, scale)
+    x = x + attn.transpose(0, 2, 1, 3).reshape(b, s, d) @ lp["wo"]
+
+    h2 = rms_norm(x, lp["ffn_norm"], cfg.norm_eps)
+    gate = jax.nn.silu((h2 @ lp["w1"]).astype(jnp.float32)).astype(x.dtype)
+    x = x + (gate * (h2 @ lp["w3"])) @ lp["w2"]
+    return x, ck, cv
+
+
+def _layer_decode(x, lp, ck, cv, cos, sin, mask, pos, cfg: DualARConfig):
+    """One block for single-token decode with PER-ROW positions.
+
+    x: (B, 1, D); pos: (B,) int32 — each row's write position.
+    cos/sin: (B, 1, 1, hd/2) per-row RoPE tables.
+    """
+    b, _, d = x.shape
+    h = rms_norm(x, lp["attention_norm"], cfg.norm_eps)
+    q, k, v = _project_qkv(h, lp, cfg)  # (B, heads, 1, hd)
+    q = apply_rope_interleaved(q, cos, sin)
+    k = apply_rope_interleaved(k, cos, sin)
+
+    rows = jnp.arange(b)
+    ck = ck.at[rows, :, pos, :].set(k.squeeze(2).astype(ck.dtype))
+    cv = cv.at[rows, :, pos, :].set(v.squeeze(2).astype(cv.dtype))
+
+    scale = 1.0 / (cfg.head_dim**0.5)
+    attn = gqa_attention(q, ck, cv, mask, scale)
+    x = x + attn.transpose(0, 2, 1, 3).reshape(b, 1, d) @ lp["wo"]
+
+    h2 = rms_norm(x, lp["ffn_norm"], cfg.norm_eps)
+    gate = jax.nn.silu((h2 @ lp["w1"]).astype(jnp.float32)).astype(x.dtype)
+    x = x + (gate * (h2 @ lp["w3"])) @ lp["w2"]
+    return x, ck, cv
+
+
+def _scan_stack(layer_fn, stack, x, cache: KVCache):
+    def body(carry_x, per_layer):
+        lp, ck, cv = per_layer
+        new_x, nk, nv = layer_fn(carry_x, lp, ck, cv)
+        return new_x, (nk, nv)
+
+    x, (ks, vs) = jax.lax.scan(body, x, (stack, cache.k, cache.v))
+    return x, KVCache(k=ks, v=vs)
+
+
+# --------------------------------------------------------------------------
+# Slow (semantic) path
+# --------------------------------------------------------------------------
+
+
+def _rope_slice(cfg: DualARConfig, length: int, offset):
+    cos, sin = precompute_freqs_cis(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
+    return (
+        jax.lax.dynamic_slice_in_dim(cos, offset, length, axis=0),
+        jax.lax.dynamic_slice_in_dim(sin, offset, length, axis=0),
+    )
+
+
+def _rope_gather(cfg: DualARConfig, pos: jnp.ndarray):
+    """Per-row single-position tables -> (B, 1, 1, hd/2)."""
+    cos, sin = precompute_freqs_cis(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
+    return cos[pos][:, None, None, :], sin[pos][:, None, None, :]
+
+
+def slow_prefill(
+    params: DualARParams,
+    cfg: DualARConfig,
+    token_cfg: TokenConfig,
+    tokens: jnp.ndarray,
+    seq_lens: jnp.ndarray,
+    cache: KVCache,
+    slot,
+    offset,
+) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
+    """Prefill cache rows [slot, slot+B) with a right-padded prompt chunk.
+
+    tokens: (B, C+1, S_pad) int32, real length per row in seq_lens (B,).
+    The prompt occupies cache positions [offset, offset + seq_lens[b])
+    of each row; `offset` is the retained conditioning-prefix length
+    (0 for a fresh sequence), shared across rows.
+
+    Returns (logits (B, V) f32 at each row's last real token,
+             hidden (B, D) pre-norm at the same position, updated cache).
+    """
+    b, _, s_pad = tokens.shape
+    x = embed_tokens(params, cfg, token_cfg, tokens)  # (B, S_pad, D)
+    cos, sin = _rope_slice(cfg, s_pad, offset)
+
+    s_max = cache.max_len
+    q_pos = offset + jnp.arange(s_pad)[:, None]  # (S_pad, 1) absolute
+    k_pos = jnp.arange(s_max)[None, :]  # (1, S_max)
+    causal = (k_pos <= q_pos) & (q_pos - k_pos < cfg.max_seq_len)
+    k_valid = k_pos < (offset + seq_lens[:, None])  # (B, S_max)
+    allowed = causal[None, :, :] & k_valid[:, None, :]
+    mask = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None, :, :]
+
+    def layer_fn(xc, lp, ck, cv):
+        return _layer_prefill(xc, lp, ck, cv, cos, sin, mask, slot, offset, cfg)
+
+    x, cache = _scan_stack(layer_fn, params["slow"], x, cache)
+
+    last_idx = jnp.clip(seq_lens - 1, 0, s_pad - 1)  # (B,)
+    hidden = jnp.take_along_axis(x, last_idx[:, None, None], axis=1).squeeze(1)
+    slow_out = rms_norm(hidden, params["norm"], cfg.norm_eps)
+    logits = (slow_out @ params["output"]).astype(jnp.float32)
+    return logits, hidden, cache
+
+
+def slow_decode_step(
+    params: DualARParams,
+    cfg: DualARConfig,
+    token_cfg: TokenConfig,
+    tokens: jnp.ndarray,
+    cache: KVCache,
+    pos: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
+    """One slow-stack decode step for all cache rows.
+
+    tokens: (B, C+1) — the previous frame per row.
+    pos: (B,) int32 — each row's write position (== its current length).
+    Returns (logits (B, V) f32, hidden (B, D) pre-norm, updated cache).
+    """
+    x = embed_tokens(params, cfg, token_cfg, tokens[:, :, None])  # (B, 1, D)
+    cos, sin = _rope_gather(cfg, pos)
+
+    s_max = cache.max_len
+    k_pos = jnp.arange(s_max)[None, None, None, :]
+    mask = jnp.where(
+        k_pos <= pos[:, None, None, None], 0.0, NEG_INF
+    ).astype(jnp.float32)  # (B, 1, 1, S_max)
+
+    def layer_fn(xc, lp, ck, cv):
+        return _layer_decode(xc, lp, ck, cv, cos, sin, mask, pos, cfg)
+
+    x, cache = _scan_stack(layer_fn, params["slow"], x, cache)
+
+    hidden = x[:, 0, :]
+    slow_out = rms_norm(hidden, params["norm"], cfg.norm_eps)
+    logits = (slow_out @ params["output"]).astype(jnp.float32)
+    return logits, hidden, cache
+
+
+# --------------------------------------------------------------------------
+# Fast (codebook) path
+# --------------------------------------------------------------------------
+
+
+def fast_decode_step(
+    params: DualARParams,
+    cfg: DualARConfig,
+    x: jnp.ndarray,
+    cache: KVCache,
+    codebook_idx: int,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One fast-transformer step along the codebook axis.
+
+    x: (B, 1, D) — the slow hidden state (codebook 0) or the embedding of
+    the previously sampled codebook token. codebook_idx is STATIC: the
+    fast loop is unrolled over a fixed number of codebooks.
+
+    The fast model's sequence axis is the codebook axis: RoPE is indexed
+    by codebook position and the cache holds at most num_codebooks
+    entries, reset every frame (reference: dual_ar.rs:638-673,
+    single_batch.rs:146-159).
+    Returns (logits (B, codebook_size) f32, updated cache).
+    """
+    cos, sin = _rope_slice(cfg, 1, codebook_idx)
+
+    c_max = cache.max_len
+    k_pos = jnp.arange(c_max)[None, None, None, :]
+    mask = jnp.where(k_pos <= codebook_idx, 0.0, NEG_INF).astype(jnp.float32)
+    mask = jnp.broadcast_to(mask, (x.shape[0], 1, 1, c_max))
+
+    def layer_fn(xc, lp, ck, cv):
+        return _layer_prefill(
+            xc, lp, ck, cv, cos, sin, mask, 0, codebook_idx, cfg
+        )
+
+    x, cache = _scan_stack(layer_fn, params["fast"], x, cache)
+    fast_out = rms_norm(x[:, 0, :], params["fast_norm"], cfg.norm_eps)  # (B, D)
+
+    w = params["fast_output"]  # (D, fast_output_size)
+    if cfg.depthwise_output:
+        w = w[:, codebook_idx * cfg.codebook_size : (codebook_idx + 1) * cfg.codebook_size]
+    logits = (fast_out @ w).astype(jnp.float32)
+    return logits, cache
+
+
+def fast_embed(
+    params: DualARParams, cfg: DualARConfig, token: jnp.ndarray, codebook_idx: int
+) -> jnp.ndarray:
+    """Embed a sampled codebook token for the next fast step.
+
+    token: (B,) int32 -> (B, 1, D). For depthwise_wte models the embedding
+    table is offset per codebook (reference: single_batch.rs:169-175).
+    """
+    if cfg.depthwise_wte:
+        token = token + codebook_idx * cfg.codebook_size
+    return jnp.take(params["fast_embeddings"], token, axis=0)[:, None, :]
