@@ -1,0 +1,369 @@
+"""LMEngine: statically-shaped, jitted generation driver for the DualAR LM.
+
+Replaces the reference's iterator-based drivers
+(reference: lm/generate/single_batch.rs:217-324, static_batch.rs:282-390)
+with a TPU-native design:
+
+* `prefill_and_frame` — one jit per prompt-length bucket; prompts are
+  right-padded to the bucket so arbitrary lengths reuse compilations.
+* `decode_frames` — the entire decode loop is ONE `lax.while_loop` on
+  device; tokens land in a pre-allocated output buffer and the host syncs
+  once at the end (the reference syncs per token per codebook).
+* Conditioning-prefix reuse (`clear_slow_caches_until`,
+  reference: dual_ar.rs:687-693) is a host-side rewind of the length
+  counter — no data movement.
+* Batched: all shapes carry a leading batch dim; rows track independent
+  positions, so ragged prompts need no left-padding (the reference
+  left-pads and its pad mask is dead code, SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fish_speech_tpu.config import DualARConfig, TokenConfig, WhichLM
+from fish_speech_tpu.generate.frame import FrameResult, generate_frame
+from fish_speech_tpu.models.dual_ar import (
+    DualARParams,
+    KVCache,
+    slow_decode_step,
+    slow_prefill,
+)
+from fish_speech_tpu.ops.sampling import (
+    SINGLE_STREAM_REP_PEN_WINDOW,
+    RepPenWindow,
+    SamplingArgs,
+)
+
+DEFAULT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+class GenState(NamedTuple):
+    """Decode-loop carry for a batch of sequences."""
+
+    cache: KVCache
+    pos: jnp.ndarray  # (B,) int32 — per-row cache length / next write slot
+    prev: jnp.ndarray  # (B, C+1) int32 — last emitted frame
+    rep_pen: RepPenWindow  # tokens (B, C, W)
+    rng: jax.Array
+    done: jnp.ndarray  # (B,) bool
+
+
+class GenerationResult(NamedTuple):
+    tokens: np.ndarray  # (num_codebooks, T) — codebook rows only
+    semantic: np.ndarray  # (T,) — semantic row (vocab ids)
+    frames: int
+    hit_max: bool
+    prefill_s: float
+    decode_s: float
+    prompt_tokens: int
+
+    @property
+    def codes(self) -> np.ndarray:
+        return self.tokens
+
+
+def _bucket_for(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"Prompt length {n} exceeds the largest bucket {buckets[-1]}")
+
+
+class LMEngine:
+    """Owns jitted generation functions and per-engine decode state.
+
+    One engine per (model, batch size, cache length) triple. The engine is
+    NOT thread-safe; the server serializes access per engine (and scales by
+    batching inside the engine, not by locking — see server/).
+    """
+
+    def __init__(
+        self,
+        params: DualARParams,
+        cfg: DualARConfig,
+        token_cfg: TokenConfig,
+        lm: WhichLM,
+        *,
+        batch_size: int = 1,
+        cache_len: Optional[int] = None,
+        max_frames: int = 2048,
+        rep_pen_window: int = SINGLE_STREAM_REP_PEN_WINDOW,
+        prompt_buckets=DEFAULT_BUCKETS,
+        dtype=jnp.bfloat16,
+    ) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.token_cfg = token_cfg
+        self.lm = lm
+        self.batch_size = batch_size
+        self.cache_len = cache_len or cfg.max_seq_len
+        self.max_frames = max_frames
+        self.rep_pen_window = rep_pen_window
+        self.prompt_buckets = tuple(
+            b for b in prompt_buckets if b <= self.cache_len
+        ) or (self.cache_len,)
+        self.dtype = dtype
+
+        self._prefill_jit = {}  # sampling -> fn
+        self._decode_jit = {}
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self, seed: Optional[int] = None) -> GenState:
+        if seed is None:
+            seed = int(np.random.default_rng().integers(0, 2**31 - 1))
+        b, c = self.batch_size, self.cfg.num_codebooks
+        return GenState(
+            cache=KVCache.init(
+                self.cfg.n_layer,
+                b,
+                self.cfg.n_local_heads,
+                self.cache_len,
+                self.cfg.head_dim,
+                self.dtype,
+            ),
+            pos=jnp.zeros((b,), jnp.int32),
+            prev=jnp.zeros((b, c + 1), jnp.int32),
+            rep_pen=RepPenWindow.init((b, c), self.rep_pen_window),
+            rng=jax.random.PRNGKey(seed),
+            done=jnp.zeros((b,), bool),
+        )
+
+    # -- jitted kernels ---------------------------------------------------
+
+    def _get_prefill(self, sampling: SamplingArgs):
+        key = sampling
+        if key not in self._prefill_jit:
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def prefill_fn(tokens, state: GenState, seq_lens, offset):
+                rng, frame_rng = jax.random.split(state.rng)
+                logits, hidden, cache = slow_prefill(
+                    self.params,
+                    self.cfg,
+                    self.token_cfg,
+                    tokens,
+                    seq_lens,
+                    state.cache,
+                    0,
+                    offset,
+                )
+                res: FrameResult = generate_frame(
+                    self.params,
+                    self.cfg,
+                    self.token_cfg,
+                    self.lm,
+                    sampling,
+                    logits,
+                    hidden,
+                    RepPenWindow.init(
+                        (self.batch_size, self.cfg.num_codebooks),
+                        self.rep_pen_window,
+                    ),
+                    None,
+                    frame_rng,
+                )
+                new_state = GenState(
+                    cache=cache,
+                    pos=offset + seq_lens,
+                    prev=res.tokens,
+                    rep_pen=res.rep_pen,
+                    rng=rng,
+                    done=res.is_eos,
+                )
+                return new_state, res.tokens, res.is_eos
+
+            self._prefill_jit[key] = prefill_fn
+        return self._prefill_jit[key]
+
+    def _decode_body(self, sampling: SamplingArgs, state: GenState):
+        rng, frame_rng = jax.random.split(state.rng)
+        logits, hidden, cache = slow_decode_step(
+            self.params, self.cfg, self.token_cfg, state.prev, state.cache, state.pos
+        )
+        res: FrameResult = generate_frame(
+            self.params,
+            self.cfg,
+            self.token_cfg,
+            self.lm,
+            sampling,
+            logits,
+            hidden,
+            state.rep_pen,
+            state.prev,
+            frame_rng,
+        )
+        # Done rows keep emitting EOS frames and stop advancing.
+        frame = jnp.where(
+            state.done[:, None],
+            state.prev.at[:, 0].set(self.token_cfg.im_end_id).at[:, 1:].set(0),
+            res.tokens,
+        )
+        new_state = GenState(
+            cache=cache,
+            pos=jnp.where(state.done, state.pos, state.pos + 1),
+            prev=frame,
+            rep_pen=res.rep_pen,
+            rng=rng,
+            done=state.done | res.is_eos,
+        )
+        return new_state, frame
+
+    def _get_decode_loop(self, sampling: SamplingArgs):
+        key = sampling
+        if key not in self._decode_jit:
+            cap = self.max_frames
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def decode_loop(state: GenState, max_steps):
+                b, c = self.batch_size, self.cfg.num_codebooks
+                out = jnp.zeros((cap, b, c + 1), jnp.int32)
+                valid = jnp.zeros((cap, b), bool)
+
+                def cond(carry):
+                    state, _, _, step = carry
+                    return (step < max_steps) & ~jnp.all(state.done)
+
+                def body(carry):
+                    state, out, valid, step = carry
+                    was_done = state.done
+                    state, frame = self._decode_body(sampling, state)
+                    out = jax.lax.dynamic_update_slice(
+                        out, frame[None], (step, 0, 0)
+                    )
+                    ok = ~was_done & (frame[:, 0] != self.token_cfg.im_end_id)
+                    valid = jax.lax.dynamic_update_slice(
+                        valid, ok[None], (step, 0)
+                    )
+                    return state, out, valid, step + 1
+
+                state, out, valid, step = jax.lax.while_loop(
+                    cond, body, (state, out, valid, jnp.int32(0))
+                )
+                return state, out, valid, step
+
+            self._decode_jit[key] = decode_loop
+        return self._decode_jit[key]
+
+    def _get_step(self, sampling: SamplingArgs):
+        """Single decode frame, jitted — used by the streaming path."""
+        key = ("step", sampling)
+        if key not in self._decode_jit:
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def step_fn(state: GenState):
+                return self._decode_body(sampling, state)
+
+            self._decode_jit[key] = step_fn
+        return self._decode_jit[key]
+
+    # -- drivers ----------------------------------------------------------
+
+    def prefill(
+        self,
+        state: GenState,
+        prompt: np.ndarray,
+        sampling: SamplingArgs,
+        offset: int = 0,
+    ) -> Tuple[GenState, jnp.ndarray, jnp.ndarray]:
+        """Prefill a (C+1, S) prompt (batch=1 engines) or (B, C+1, S) batch
+        and sample the first frame. Returns (state, frame (B, C+1), is_eos)."""
+        prompt = np.asarray(prompt)
+        if prompt.ndim == 2:
+            prompt = prompt[None]
+        b, rows, s = prompt.shape
+        assert b == self.batch_size, (b, self.batch_size)
+        assert rows == self.cfg.num_codebooks + 1
+        bucket = _bucket_for(s, self.prompt_buckets)
+        padded = np.zeros((b, rows, bucket), np.int32)
+        padded[:, :, :s] = prompt
+        seq_lens = jnp.full((b,), s, jnp.int32)
+        fn = self._get_prefill(sampling)
+        return fn(jnp.asarray(padded), state, seq_lens, jnp.int32(offset))
+
+    def generate(
+        self,
+        prompt: np.ndarray,
+        *,
+        max_new_tokens: int = 1024,
+        sampling: Optional[SamplingArgs] = None,
+        state: Optional[GenState] = None,
+        conditioning_offset: int = 0,
+        seed: Optional[int] = None,
+    ) -> Tuple[GenerationResult, GenState]:
+        """Blocking generation for a single prompt (batch-1 engine).
+
+        prompt: (C+1, S) int array — semantic row + codebook rows, as
+        produced by text.prompt.PromptEncoder. Returns codebook-row tokens
+        shaped (C, T), mirroring `generate_blocking`
+        (reference: single_batch.rs:217-324).
+        """
+        assert self.batch_size == 1, "generate() drives batch-1 engines"
+        sampling = sampling or SamplingArgs()
+        if state is None:
+            state = self.init_state(seed)
+
+        prompt = np.asarray(prompt)
+        prompt_len = prompt.shape[-1]
+        t0 = time.perf_counter()
+        state, first_frame, first_eos = self.prefill(
+            state, prompt, sampling, offset=conditioning_offset
+        )
+        first_frame = np.asarray(first_frame)
+        prefill_s = time.perf_counter() - t0
+
+        budget = min(
+            max_new_tokens - 1,
+            self.max_frames,
+            self.cache_len - (conditioning_offset + prompt_len) - 1,
+        )
+        t1 = time.perf_counter()
+        state, out, valid, steps = self._get_decode_loop(sampling)(
+            state, jnp.int32(max(budget, 0))
+        )
+        out = np.asarray(out)
+        valid = np.asarray(valid)
+        steps = int(steps)
+        decode_s = time.perf_counter() - t1
+
+        # First frame is always included (even if EOS), matching the
+        # reference driver (single_batch.rs:250-251,262-266).
+        frames = [first_frame[0]]
+        for i in range(steps):
+            if valid[i, 0]:
+                frames.append(out[i, 0])
+        stacked = np.stack(frames, axis=1)  # (C+1, T)
+        hit_max = steps >= budget > 0 and not bool(np.asarray(state.done)[0])
+
+        result = GenerationResult(
+            tokens=stacked[1:],
+            semantic=stacked[0],
+            frames=stacked.shape[1],
+            hit_max=hit_max,
+            prefill_s=prefill_s,
+            decode_s=decode_s,
+            prompt_tokens=prompt_len,
+        )
+        return result, state
+
+    def rewind(self, state: GenState, length: int) -> GenState:
+        """Logical equivalent of clear_slow_caches_until(length)
+        (reference: dual_ar.rs:687-693): keep the first `length` cache
+        positions, reset everything else."""
+        b, c = self.batch_size, self.cfg.num_codebooks
+        return GenState(
+            cache=state.cache,
+            pos=jnp.full((b,), length, jnp.int32),
+            prev=jnp.zeros((b, c + 1), jnp.int32),
+            rep_pen=RepPenWindow.init((b, c), self.rep_pen_window),
+            rng=state.rng,
+            done=jnp.zeros((b,), bool),
+        )

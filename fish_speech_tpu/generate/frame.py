@@ -1,0 +1,154 @@
+"""One DualAR frame: constrained semantic sampling + the fast codebook loop.
+
+This is the body of the hot decode loop. Counterpart of the reference's
+`SingleBatchGenerator::next` (reference: lm/generate/single_batch.rs:74-215)
+but fully on-device: the reference syncs to the host once per slow step and
+once per codebook to sample; here the whole frame — slow logits, constrained
+semantic draw, 4-layer fast transformer per codebook, repetition penalty,
+nucleus sampling — is a single traced computation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fish_speech_tpu.config import DualARConfig, TokenConfig, WhichLM
+from fish_speech_tpu.models.dual_ar import (
+    DualARParams,
+    KVCache,
+    fast_decode_step,
+    fast_embed,
+)
+from fish_speech_tpu.ops.sampling import (
+    RepPenWindow,
+    SamplingArgs,
+    legacy_pad_eos_sample,
+    sample_top_k_top_p,
+)
+
+
+def sample_semantic(
+    logits: jnp.ndarray,
+    lm: WhichLM,
+    token_cfg: TokenConfig,
+    cfg: DualARConfig,
+    sampling: SamplingArgs,
+    rng: jax.Array,
+) -> jnp.ndarray:
+    """Constrained (audio-only) semantic-token draw. logits: (B, V) f32.
+
+    * Fish 1.5 / DualAR: restrict to <|im_end|> + the semantic range and
+      rescale the sampled index back to vocab space
+      (reference: generate/utils.rs:6-56, single_batch.rs:126-140).
+    * Fish 1.2 / 1.4: the slow head only ever chooses PAD vs <|im_end|>
+      (reference: single_batch.rs:103-124).
+    """
+    if lm in (WhichLM.FISH_1_2, WhichLM.FISH_1_4):
+        pad_logit = logits[:, token_cfg.pad_id]
+        eos_logit = logits[:, token_cfg.im_end_id]
+        return legacy_pad_eos_sample(
+            pad_logit, eos_logit, token_cfg.pad_id, token_cfg.im_end_id, rng
+        )
+
+    if token_cfg.im_end_id == token_cfg.semantic_start_id - 1:
+        # contiguous window [im_end, im_end + 1 + codebook_size)
+        window = logits[
+            :, token_cfg.im_end_id : token_cfg.im_end_id + 1 + cfg.codebook_size
+        ]
+        tok = sample_top_k_top_p(
+            window, rng, temp=sampling.temp, top_p=sampling.top_p, top_k=sampling.top_k
+        )
+        return tok + token_cfg.im_end_id
+    # generic DualAR: [im_end] ++ semantic range
+    window = jnp.concatenate(
+        [
+            logits[:, token_cfg.im_end_id : token_cfg.im_end_id + 1],
+            logits[
+                :,
+                token_cfg.semantic_start_id : token_cfg.semantic_start_id
+                + cfg.codebook_size,
+            ],
+        ],
+        axis=-1,
+    )
+    tok = sample_top_k_top_p(
+        window, rng, temp=sampling.temp, top_p=sampling.top_p, top_k=sampling.top_k
+    )
+    return jnp.where(
+        tok == 0, token_cfg.im_end_id, token_cfg.semantic_start_id + tok - 1
+    ).astype(jnp.int32)
+
+
+class FrameResult(NamedTuple):
+    tokens: jnp.ndarray  # (B, C+1) int32 — semantic + codebook rows
+    is_eos: jnp.ndarray  # (B,) bool
+    rep_pen: RepPenWindow
+
+
+def generate_frame(
+    params: DualARParams,
+    cfg: DualARConfig,
+    token_cfg: TokenConfig,
+    lm: WhichLM,
+    sampling: SamplingArgs,
+    logits: jnp.ndarray,
+    hidden: jnp.ndarray,
+    rep_pen: RepPenWindow,
+    prev_tokens,  # (B, C+1) int32 or None on the prefill frame
+    rng: jax.Array,
+) -> FrameResult:
+    """Sample the semantic token, then run the fast transformer over the
+    codebook axis to fill the remaining rows of the frame.
+
+    The fast KV cache is created fresh every frame — the reference clears
+    it per frame too (single_batch.rs:146); at num_codebooks entries it
+    lives entirely in registers/VMEM once jitted.
+    """
+    b = logits.shape[0]
+    rng, sem_rng = jax.random.split(rng)
+    semantic = sample_semantic(logits, lm, token_cfg, cfg, sampling, sem_rng)
+    is_eos = semantic == token_cfg.im_end_id
+
+    # Repetition-penalty window update: push the previous frame's codebook
+    # tokens, one slot per frame (reference: single_batch.rs:162-167 calls
+    # apply(prev_frame_token) which pushes then divides). The prefill frame
+    # has no previous tokens, so nothing is pushed.
+    rep_pen_enabled = not cfg.depthwise_wte and sampling.repetition_penalty != 1.0
+    if prev_tokens is not None and rep_pen_enabled:
+        rep_pen = rep_pen.push(prev_tokens[:, 1:])
+
+    fast_cache = KVCache.init(
+        cfg.n_fast_layer,
+        b,
+        cfg.n_local_heads,
+        cfg.num_codebooks,
+        cfg.head_dim,
+        hidden.dtype,
+    )
+
+    x = hidden[:, None, :]  # (B, 1, D)
+    codebook_tokens = []
+    for cb in range(cfg.num_codebooks):
+        rng, cb_rng = jax.random.split(rng)
+        cb_logits, fast_cache = fast_decode_step(params, cfg, x, fast_cache, cb)
+        if rep_pen_enabled:
+            row = RepPenWindow(tokens=rep_pen.tokens[:, cb], ptr=rep_pen.ptr)
+            cb_logits = row.penalize(cb_logits, sampling.repetition_penalty)
+        tok = sample_top_k_top_p(
+            cb_logits,
+            cb_rng,
+            temp=sampling.temp,
+            top_p=sampling.top_p,
+            top_k=sampling.top_k,
+        )
+        # EOS frames emit zero codebooks (reference: single_batch.rs:152-155)
+        tok = jnp.where(is_eos, 0, tok)
+        codebook_tokens.append(tok)
+        if cb != cfg.num_codebooks - 1:
+            x = fast_embed(params, cfg, tok, cb)
+
+    frame = jnp.stack([semantic] + codebook_tokens, axis=1)  # (B, C+1)
+    return FrameResult(tokens=frame, is_eos=is_eos, rep_pen=rep_pen)

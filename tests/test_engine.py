@@ -1,0 +1,122 @@
+"""Tests for the generation engine: termination, determinism, cache reuse."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fish_speech_tpu.config import DualARConfig, TokenConfig, WhichLM
+from fish_speech_tpu.generate.engine import LMEngine
+from fish_speech_tpu.models.dual_ar import init_dual_ar_params
+from fish_speech_tpu.ops.sampling import SamplingArgs
+
+CFG = DualARConfig(
+    vocab_size=64,
+    n_layer=2,
+    n_fast_layer=2,
+    n_head=4,
+    dim=32,
+    intermediate_size=64,
+    n_local_heads=2,
+    head_dim=8,
+    rope_base=10000.0,
+    norm_eps=1e-6,
+    max_seq_len=64,
+    codebook_size=8,
+    num_codebooks=2,
+)
+TOK = TokenConfig(im_end_id=9, pad_id=5, semantic_start_id=10, semantic_end_id=17)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    params = init_dual_ar_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    return LMEngine(
+        params, CFG, TOK, WhichLM.FISH_1_5,
+        cache_len=64, max_frames=16, dtype=jnp.float32,
+        prompt_buckets=(16, 32),
+    )
+
+
+def make_prompt(seq):
+    r = np.random.default_rng(0)
+    sem = r.integers(18, 30, size=(1, seq))  # text tokens outside semantic range
+    cbs = np.zeros((CFG.num_codebooks, seq), dtype=np.int64)
+    return np.concatenate([sem, cbs], axis=0)
+
+
+class TestGenerate:
+    def test_generates_frames_and_respects_budget(self, engine):
+        res, _ = engine.generate(
+            make_prompt(7), max_new_tokens=6,
+            sampling=SamplingArgs(temp=0.0), seed=0,
+        )
+        assert 1 <= res.frames <= 6
+        assert res.tokens.shape[0] == CFG.num_codebooks
+        assert res.semantic.shape == (res.frames,)
+        # semantic tokens are inside the constrained range or im_end
+        assert np.all(
+            (res.semantic == TOK.im_end_id)
+            | ((res.semantic >= TOK.im_end_id) & (res.semantic <= TOK.semantic_end_id))
+        )
+        # codebook tokens are valid codebook indices
+        assert res.tokens.min() >= 0 and res.tokens.max() < CFG.codebook_size
+
+    def test_argmax_deterministic(self, engine):
+        r1, _ = engine.generate(
+            make_prompt(7), max_new_tokens=5, sampling=SamplingArgs(temp=0.0), seed=1
+        )
+        r2, _ = engine.generate(
+            make_prompt(7), max_new_tokens=5, sampling=SamplingArgs(temp=0.0), seed=2
+        )
+        np.testing.assert_array_equal(r1.tokens, r2.tokens)
+        np.testing.assert_array_equal(r1.semantic, r2.semantic)
+
+    def test_seeded_sampling_reproducible(self, engine):
+        s = SamplingArgs(temp=0.9, top_p=0.9, top_k=8, repetition_penalty=1.1)
+        r1, _ = engine.generate(make_prompt(7), max_new_tokens=5, sampling=s, seed=42)
+        r2, _ = engine.generate(make_prompt(7), max_new_tokens=5, sampling=s, seed=42)
+        np.testing.assert_array_equal(r1.tokens, r2.tokens)
+
+    def test_conditioning_cache_reuse(self, engine):
+        """Chunk 2 prefilled at the conditioning offset must produce the
+        same first frame as prefilling [cond; chunk2] from scratch
+        (the kv-cache prefix-retention path, reference: speech.rs:40)."""
+        s = SamplingArgs(temp=0.0)
+        cond = make_prompt(5)
+        chunk2 = make_prompt(4) + 1
+
+        state = engine.init_state(seed=3)
+        _, state = engine.generate(
+            np.concatenate([cond, chunk2], axis=1), max_new_tokens=3,
+            sampling=s, state=state,
+        )
+
+        state2 = engine.init_state(seed=3)
+        res_a, state2 = engine.generate(
+            cond, max_new_tokens=3, sampling=s, state=state2
+        )
+        state2 = engine.rewind(state2, cond.shape[1])
+        res_b, _ = engine.generate(
+            chunk2, max_new_tokens=3, sampling=s,
+            state=state2, conditioning_offset=cond.shape[1],
+        )
+        # the scratch run and the resumed run see identical context for
+        # chunk2's first frame
+        ref, _ = engine.generate(
+            np.concatenate([cond, chunk2], axis=1), max_new_tokens=3, sampling=s
+        )
+        np.testing.assert_array_equal(res_b.semantic[0], ref.semantic[0])
+
+    def test_legacy_lm_emits_pad_or_eos(self):
+        params = init_dual_ar_params(jax.random.PRNGKey(1), CFG, dtype=jnp.float32)
+        tok = TokenConfig(im_end_id=9, pad_id=5, semantic_start_id=5, semantic_end_id=None)
+        eng = LMEngine(
+            params, CFG, tok, WhichLM.FISH_1_4,
+            cache_len=64, max_frames=8, dtype=jnp.float32, prompt_buckets=(16,),
+        )
+        res, _ = eng.generate(
+            make_prompt(6), max_new_tokens=8,
+            sampling=SamplingArgs(temp=0.7), seed=7,
+        )
+        assert np.all((res.semantic == 5) | (res.semantic == 9))
