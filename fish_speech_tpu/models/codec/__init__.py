@@ -1,0 +1,6 @@
+"""FireflyGAN-VQ codec: FSQ quantizer, ConvNeXt encoder, HiFiGAN decoder."""
+
+from fish_speech_tpu.models.codec.firefly import (  # noqa: F401
+    FireflyCodec,
+    init_firefly_params,
+)

@@ -1,0 +1,159 @@
+"""FireflyGAN-VQ codec facade: audio -> codes (encode) and
+codes -> 44.1 kHz PCM (decode).
+
+Counterpart of reference: fish_speech_core/lib/codec/{firefly,decoder,
+encoder}.rs. Both directions are jitted whole-graph XLA programs; the
+token axis is padded to buckets so arbitrary lengths reuse compilations,
+with sequence masks zeroing the padded tail exactly like the reference's
+`sequence_mask` (decoder.rs:9-14,37-68).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fish_speech_tpu.audio.mel import LogMelSpectrogram, num_frames
+from fish_speech_tpu.config import FireflyConfig, FishVersion
+from fish_speech_tpu.models.codec.convnext import convnext_encoder, init_convnext_encoder
+from fish_speech_tpu.models.codec.hifigan import hifigan_forward, init_hifigan_params
+from fish_speech_tpu.models.codec.quantizer import (
+    init_quantizer_params,
+    quantizer_decode,
+    quantizer_encode,
+)
+
+DECODE_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def firefly_decode(
+    params: Dict,
+    cfg: FireflyConfig,
+    indices: jnp.ndarray,
+    feature_lengths: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(B, num_codebooks, T) int codes -> (B, 1, T * ds * hop) PCM
+    (reference: decoder.rs:37-68)."""
+    b, _, t = indices.shape
+    factor = cfg.quantizer.total_downsample
+    if feature_lengths is None:
+        feature_lengths = jnp.full((b,), t, jnp.int32)
+
+    z = quantizer_decode(indices, params["quantizer"], cfg.quantizer, cfg.version)
+    mel_len = z.shape[-1]
+    mel_mask = (
+        jnp.arange(mel_len)[None, :] < (feature_lengths * factor)[:, None]
+    )
+    z = z * mel_mask[:, None, :].astype(z.dtype)
+
+    audio = hifigan_forward(z, params["head"], cfg.head, cfg.version)
+    audio_len = audio.shape[-1]
+    hop = cfg.spec_transform.hop_length
+    audio_mask = (
+        jnp.arange(audio_len)[None, :]
+        < (feature_lengths * factor * hop)[:, None]
+    )
+    return audio * audio_mask[:, None, :].astype(audio.dtype)
+
+
+def firefly_encode_mel(
+    params: Dict, cfg: FireflyConfig, mel: jnp.ndarray
+) -> jnp.ndarray:
+    """(B, n_mels, T) log-mel -> (B, num_codebooks, T') int codes
+    (reference: encoder.rs:38-43)."""
+    features = convnext_encoder(mel, params["backbone"], cfg.backbone, cfg.version)
+    return quantizer_encode(features, params["quantizer"], cfg.quantizer, cfg.version)
+
+
+def init_firefly_params(
+    rng: jax.Array, cfg: FireflyConfig, dtype=jnp.float32
+) -> Dict:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "backbone": init_convnext_encoder(k1, cfg.backbone, dtype),
+        "quantizer": init_quantizer_params(k2, cfg.quantizer, dtype),
+        "head": init_hifigan_params(k3, cfg.head, dtype),
+    }
+
+
+class FireflyCodec:
+    """User-facing codec (reference: codec/firefly.rs:10-49)."""
+
+    def __init__(
+        self,
+        params: Dict,
+        cfg: FireflyConfig,
+        *,
+        buckets=DECODE_BUCKETS,
+    ) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.sample_rate = cfg.spec_transform.sample_rate
+        self.spec_transform = LogMelSpectrogram(cfg.spec_transform)
+        self.buckets = buckets
+
+        self._decode_jit = partial(jax.jit(self._decode_fn))
+        self._encode_jit = partial(jax.jit(self._encode_fn))
+
+    def _decode_fn(self, indices, feature_lengths):
+        return firefly_decode(self.params, self.cfg, indices, feature_lengths)
+
+    def _encode_fn(self, mel, mel_lengths):
+        frame_mask = (
+            jnp.arange(mel.shape[-1])[None, :] < mel_lengths[:, None]
+        )
+        # padded tail takes the log-clamp floor value, like silence would
+        mel = jnp.where(frame_mask[:, None, :], mel, float(np.log(1e-5)))
+        return firefly_encode_mel(self.params, self.cfg, mel)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return n  # beyond the largest bucket: compile exact size
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        """codes: (num_codebooks, T) or (B, C, T) -> (B, T*ds*hop) f32 PCM
+        at 44.1 kHz, trimmed to the real length."""
+        codes = np.asarray(codes)
+        if codes.ndim == 2:
+            codes = codes[None]
+        b, c, t = codes.shape
+        tb = self._bucket(t)
+        padded = np.zeros((b, c, tb), np.int32)
+        padded[:, :, :t] = codes
+        lengths = jnp.full((b,), t, jnp.int32)
+        audio = np.asarray(self._decode_jit(jnp.asarray(padded), lengths))
+        real = t * self.cfg.quantizer.total_downsample * self.cfg.spec_transform.hop_length
+        return audio[:, 0, :real]
+
+    def encode(self, audio: np.ndarray) -> np.ndarray:
+        """audio: (T,) or (B, T) f32 at 44.1 kHz -> (B, num_codebooks, T')
+        int32 codes."""
+        audio = np.atleast_2d(np.asarray(audio, dtype=np.float32))
+        mels = [self.spec_transform(row) for row in audio]
+        t = max(m.shape[-1] for m in mels)
+        tb = self._bucket(t)
+        mel = np.zeros((audio.shape[0], self.cfg.spec_transform.n_mels, tb), np.float32)
+        lengths = []
+        for i, m in enumerate(mels):
+            mel[i, :, : m.shape[-1]] = np.asarray(m[0])
+            lengths.append(m.shape[-1])
+        codes = np.asarray(
+            self._encode_jit(jnp.asarray(mel), jnp.asarray(lengths, jnp.int32))
+        )
+        # trim to the real (downsampled) code length of the longest row
+        t_out = max(
+            ln // self.cfg.quantizer.total_downsample for ln in lengths
+        )
+        return codes[:, :, :t_out]
+
+    def frames_for_samples(self, n_samples: int) -> int:
+        f = num_frames(
+            n_samples, self.cfg.spec_transform.n_fft, self.cfg.spec_transform.hop_length
+        )
+        return f // self.cfg.quantizer.total_downsample
