@@ -99,7 +99,8 @@ class TestWav:
         data = pcm_to_wav_bytes(x, 44100)
         y, sr = read_wav(data)
         assert sr == 44100
-        np.testing.assert_allclose(y, x, atol=1.0 / 32000)
+        # write truncates toward zero at 32767 scale, read divides by 32768
+        np.testing.assert_allclose(y, x, atol=2.5 / 32767)
 
     def test_reads_stdlib_written_wav(self):
         import wave
