@@ -1,0 +1,170 @@
+"""Text frontend tests: cleaning, script detection, chunking (mirroring
+the reference's in-file tests, clean.rs:225-256) and token-exact prompt
+encoding."""
+
+import numpy as np
+import pytest
+
+from fish_speech_tpu.config import WhichLM
+from fish_speech_tpu.text.clean import Script, clean_text, detect_script, preprocess_text
+from fish_speech_tpu.text.prompt import PromptEncoder, load_prompt_tokens
+
+
+class TestClean:
+    def test_script_detection(self):
+        assert detect_script("Hello world") == Script.LATIN
+        assert detect_script("私は日本語を話します") == Script.JAPANESE
+        assert detect_script("我爱北京天安门") == Script.CHINESE
+        assert detect_script("안녕하세요") == Script.KOREAN
+        assert detect_script("漢字とひらがな") == Script.JAPANESE
+
+    def test_text_cleaning(self):
+        text = "Hello 👋 World! Testing—some « quotes » and。。。ellipses..."
+        cleaned = clean_text(text)
+        assert "👋" not in cleaned
+        assert "—" in cleaned
+        assert '"' in cleaned
+        assert "«" not in cleaned and "»" not in cleaned
+        assert "..." not in cleaned
+
+    def test_mixed_scripts_chunking(self):
+        # NOTE the reference's in-file test expects >= 3 chunks
+        # (clean.rs:247-252) but its own algorithm combines the two CJK
+        # sentences (5 + 9 chars < the Japanese combine threshold of 45);
+        # that test never runs in CI (SURVEY §4). We assert the behavior
+        # the algorithm actually specifies.
+        text = "This is English. 这是中文。これは日本語です。"
+        chunks = preprocess_text(text)
+        assert chunks[0] == "This is English."
+        assert len(chunks) == 2
+        assert "中文" in chunks[1] and "日本語" in chunks[1]
+
+    def test_first_chunk_ships_asap(self):
+        text = "Short one. " + "This is a much longer second sentence. " * 3
+        chunks = preprocess_text(text)
+        assert chunks[0].strip() == "Short one."
+
+    def test_long_sentence_splits_on_commas(self):
+        text = ("word " * 100).strip() + ", " + ("word " * 100).strip() + "."
+        chunks = preprocess_text(text)
+        assert len(chunks) >= 2
+
+    def test_empty(self):
+        assert preprocess_text("   ") == []
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {
+        "<unk>": 0,
+        "<|im_start|>": 1,
+        "<|im_end|>": 4,
+        "<|semantic|>": 5,
+        "user": 20,
+        "assistant": 21,
+        "system": 22,
+        "Hello": 23,
+        "world": 24,
+        "<|voice|>": 99,
+    }
+    for i in range(8):
+        vocab[f"<|semantic:{i}|>"] = 100 + i
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.add_special_tokens(
+        ["<|im_start|>", "<|im_end|>", "<|semantic|>", "<|voice|>"]
+        + [f"<|semantic:{i}|>" for i in range(8)]
+    )
+    return tok
+
+
+class TestPromptEncoder:
+    def test_encode_text_structure(self, tokenizer):
+        enc = PromptEncoder(tokenizer, num_codebooks=2, lm=WhichLM.FISH_1_5)
+        out = enc.encode_text("user", "Hello world")
+        assert out.shape[0] == 3
+        assert out[0].tolist() == [1, 20, 23, 24, 4]  # im_start user Hello world im_end
+        np.testing.assert_array_equal(out[1:], 0)  # codebook rows zero for text
+
+    def test_encode_vq_fish15(self, tokenizer):
+        """1.5: semantic row = semantic_start + code; <|voice|> in prefix
+        (prompt.rs:55-77)."""
+        enc = PromptEncoder(tokenizer, num_codebooks=2, lm=WhichLM.FISH_1_5)
+        codes = np.asarray([[0, 3, 7], [1, 1, 2]])
+        out = enc.encode_vq(codes)
+        # prefix: im_start assistant voice
+        assert out[0, :3].tolist() == [1, 21, 99]
+        # vq span semantic row: 100 + codes[0]
+        assert out[0, 3:6].tolist() == [100, 103, 107]
+        # codebook rows passthrough
+        np.testing.assert_array_equal(out[1, 3:6], codes[0])
+        np.testing.assert_array_equal(out[2, 3:6], codes[1])
+        # suffix im_end
+        assert out[0, -1] == 4
+
+    def test_encode_vq_fish14_plus_one(self, tokenizer):
+        """<=1.4: semantic row is <|semantic|>, codebooks shifted +1
+        (prompt.rs:79-91)."""
+        enc = PromptEncoder(tokenizer, num_codebooks=2, lm=WhichLM.FISH_1_4)
+        codes = np.asarray([[0, 3], [1, 2]])
+        out = enc.encode_vq(codes)
+        assert out[0, :2].tolist() == [1, 21]  # no <|voice|>
+        assert out[0, 2:4].tolist() == [5, 5]
+        np.testing.assert_array_equal(out[1, 2:4], codes[0] + 1)
+        np.testing.assert_array_equal(out[2, 2:4], codes[1] + 1)
+
+    def test_encode_sequence_conditioning_only_first_chunk(self, tokenizer):
+        enc = PromptEncoder(tokenizer, num_codebooks=2, lm=WhichLM.FISH_1_5)
+        speaker = enc.encode_conditioning_prompt("Hello", np.asarray([[1], [2]]))
+        n_cond, encoded = enc.encode_sequence(
+            ["Hello", "world"], sysprompt_text=None,
+            cached_speaker=speaker, assume_kv_cache=True,
+        )
+        assert n_cond == speaker.shape[1]
+        # chunk 0 starts with the conditioning tokens; chunk 1 does not
+        np.testing.assert_array_equal(encoded[0][:, :n_cond], speaker)
+        assert encoded[1].shape[1] < encoded[0].shape[1]
+        assert encoded[1][0, 0] == 1  # starts directly at <|im_start|>
+
+    def test_encode_sequence_no_cache_repeats_conditioning(self, tokenizer):
+        enc = PromptEncoder(tokenizer, num_codebooks=2, lm=WhichLM.FISH_1_5)
+        speaker = enc.encode_conditioning_prompt("Hello", np.asarray([[1], [2]]))
+        n_cond, encoded = enc.encode_sequence(
+            ["Hello", "world"], cached_speaker=speaker, assume_kv_cache=False
+        )
+        np.testing.assert_array_equal(encoded[1][:, :n_cond], speaker)
+
+    def test_sysprompt_prepended(self, tokenizer):
+        enc = PromptEncoder(tokenizer, num_codebooks=2, lm=WhichLM.FISH_1_5)
+        n_cond, encoded = enc.encode_sequence(
+            ["Hello"], sysprompt_text="Hello world"
+        )
+        sys = enc.encode_text("system", "Hello world")
+        assert n_cond == sys.shape[1]
+        np.testing.assert_array_equal(encoded[0][:, :n_cond], sys)
+
+    def test_empty_chunks_raise(self, tokenizer):
+        enc = PromptEncoder(tokenizer, num_codebooks=2, lm=WhichLM.FISH_1_5)
+        with pytest.raises(ValueError):
+            enc.encode_sequence([])
+
+
+class TestLoadPromptTokens:
+    def test_loads_2d(self, tmp_path):
+        p = tmp_path / "v.npy"
+        np.save(p, np.zeros((4, 7), np.uint32))
+        out = load_prompt_tokens(p, 4)
+        assert out.shape == (4, 7) and out.dtype == np.int32
+
+    def test_squeezes_ghost_dim(self, tmp_path):
+        p = tmp_path / "v.npy"
+        np.save(p, np.zeros((1, 4, 7), np.uint32))
+        assert load_prompt_tokens(p, 4).shape == (4, 7)
+
+    def test_wrong_codebooks_raise(self, tmp_path):
+        p = tmp_path / "v.npy"
+        np.save(p, np.zeros((3, 7), np.uint32))
+        with pytest.raises(ValueError):
+            load_prompt_tokens(p, 4)
