@@ -48,11 +48,11 @@ def quantizer_decode(
     grouped = indices.reshape(b, g, q, t).transpose(1, 0, 3, 2)
     z = grfsq.grouped_decode(grouped, p["rvqs"], cfg)  # (B, T', dim)
     z = z.transpose(0, 2, 1)
-    # Upsample: apply stored index order 0..n-1 (all dims equal so the
-    # reference's double-reversal resolves to plain index order,
-    # quantizer.rs:126-132).
+    # Upsample: the reference builds the list reversed and iterates it
+    # reversed again (quantizer.rs:69-94,126-132), so checkpoint index
+    # order IS application order; stage i uses stride downsample_factor[i].
     for i, layer in enumerate(p["upsample"]):
-        factor = cfg.downsample_factor[len(cfg.downsample_factor) - 1 - i]
+        factor = cfg.downsample_factor[i]
         z = fish_conv_transpose1d(z, layer["conv"], stride=factor, version=version)
         z = convnext_block(z, layer["block"], version=version)
     return z
@@ -78,11 +78,10 @@ def init_quantizer_params(
                 ),
             }
         )
-    # upsample list in APPLICATION order; weight i corresponds to
-    # downsample stage n-1-i (in/out dims mirrored)
+    # upsample list in checkpoint-index == application order; stage i has
+    # conv (I=dims[i+1], O=dims[i], K=downsample_factor[i])
     n = len(cfg.downsample_factor)
     for i in range(n):
-        src = n - 1 - i
         ku = jax.random.fold_in(rng, 20 + i)
         up.append(
             {
@@ -90,14 +89,14 @@ def init_quantizer_params(
                     # conv-transpose torch layout (I, O, K)
                     "w": jax.random.normal(
                         ku,
-                        (dims[src + 1], dims[src], cfg.downsample_factor[src]),
+                        (dims[i + 1], dims[i], cfg.downsample_factor[i]),
                         dtype,
                     )
                     * 0.02,
-                    "b": jnp.zeros((dims[src],), dtype),
+                    "b": jnp.zeros((dims[i],), dtype),
                 },
                 "block": init_convnext_block(
-                    jax.random.fold_in(ku, 1), dims[src], 7, dtype
+                    jax.random.fold_in(ku, 1), dims[i], 7, dtype
                 ),
             }
         )

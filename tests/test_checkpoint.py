@@ -1,0 +1,124 @@
+"""Checkpoint-loading tests: reference weight names -> our pytrees."""
+
+import numpy as np
+import pytest
+from safetensors.numpy import save_file
+
+from fish_speech_tpu.config import DualARConfig
+from fish_speech_tpu.io.checkpoint import (
+    _merge_weight_norm,
+    load_lm_params,
+    load_raw_checkpoint,
+)
+from tests.test_dual_ar import CFG
+
+
+def make_lm_state_dict(cfg: DualARConfig, rng):
+    d, f = cfg.dim, cfg.ffn_dim
+    qkv = (cfg.n_head + 2 * cfg.n_local_heads) * cfg.head_dim
+    sd = {
+        "embeddings.weight": rng.normal(size=(cfg.vocab_size, d)),
+        "codebook_embeddings.weight": rng.normal(
+            size=(cfg.codebook_size * cfg.num_codebooks, d)
+        ),
+        "fast_embeddings.weight": rng.normal(size=(cfg.codebook_size, d)),
+        "norm.weight": rng.normal(size=(d,)),
+        "fast_norm.weight": rng.normal(size=(d,)),
+        "output.weight": rng.normal(size=(cfg.vocab_size, d)),
+        "fast_output.weight": rng.normal(size=(cfg.codebook_size, d)),
+    }
+    for prefix, n in [("layers", cfg.n_layer), ("fast_layers", cfg.n_fast_layer)]:
+        for i in range(n):
+            sd[f"{prefix}.{i}.attention.wqkv.weight"] = rng.normal(size=(qkv, d))
+            sd[f"{prefix}.{i}.attention.wo.weight"] = rng.normal(size=(d, d))
+            sd[f"{prefix}.{i}.feed_forward.w1.weight"] = rng.normal(size=(f, d))
+            sd[f"{prefix}.{i}.feed_forward.w3.weight"] = rng.normal(size=(f, d))
+            sd[f"{prefix}.{i}.feed_forward.w2.weight"] = rng.normal(size=(d, f))
+            sd[f"{prefix}.{i}.attention_norm.weight"] = rng.normal(size=(d,))
+            sd[f"{prefix}.{i}.ffn_norm.weight"] = rng.normal(size=(d,))
+    return {k: v.astype(np.float32) for k, v in sd.items()}
+
+
+class TestLMLoading:
+    def test_safetensors_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        sd = make_lm_state_dict(CFG, rng)
+        path = tmp_path / "model.safetensors"
+        save_file(sd, str(path))
+        params = load_lm_params(tmp_path, CFG, dtype=np.float32)
+
+        # linear weights transposed to (in, out) and stacked
+        assert params["slow"]["wqkv"].shape == (
+            CFG.n_layer, CFG.dim, (CFG.n_head + 2 * CFG.n_local_heads) * CFG.head_dim
+        )
+        np.testing.assert_allclose(
+            np.asarray(params["slow"]["wqkv"][1]),
+            sd["layers.1.attention.wqkv.weight"].T,
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(params["output"]), sd["output.weight"].T, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(params["embeddings"]), sd["embeddings.weight"], rtol=1e-6
+        )
+
+    def test_tied_embeddings(self, tmp_path):
+        rng = np.random.default_rng(1)
+        sd = make_lm_state_dict(CFG, rng)
+        del sd["output.weight"]
+        save_file(sd, str(tmp_path / "model.safetensors"))
+        cfg = DualARConfig(**{**CFG.__dict__, "tie_word_embeddings": True})
+        params = load_lm_params(tmp_path, cfg, dtype=np.float32)
+        np.testing.assert_allclose(
+            np.asarray(params["output"]), sd["embeddings.weight"].T, rtol=1e-6
+        )
+
+    def test_missing_weight_raises(self, tmp_path):
+        sd = make_lm_state_dict(CFG, np.random.default_rng(2))
+        del sd["norm.weight"]
+        save_file(sd, str(tmp_path / "model.safetensors"))
+        with pytest.raises(KeyError, match="norm.weight"):
+            load_lm_params(tmp_path, CFG, dtype=np.float32)
+
+    def test_loaded_params_run(self, tmp_path):
+        import jax.numpy as jnp
+
+        from fish_speech_tpu.models.dual_ar import KVCache, slow_prefill
+        from tests.test_dual_ar import TOK, random_tokens
+
+        sd = make_lm_state_dict(CFG, np.random.default_rng(3))
+        save_file(sd, str(tmp_path / "model.safetensors"))
+        params = load_lm_params(tmp_path, CFG, dtype=jnp.float32)
+        cache = KVCache.init(CFG.n_layer, 1, CFG.n_local_heads, 32, CFG.head_dim, jnp.float32)
+        logits, hidden, _ = slow_prefill(
+            params, CFG, TOK, random_tokens(0, 1, 5), jnp.asarray([5]), cache, 0, 0
+        )
+        assert logits.shape == (1, CFG.vocab_size)
+        assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestWeightNorm:
+    def test_merge_matches_torch(self):
+        import torch
+
+        conv = torch.nn.Conv1d(4, 8, 3)
+        wn = torch.nn.utils.parametrizations.weight_norm(conv)
+        raw = {
+            "c.parametrizations.weight.original0": wn.parametrizations.weight.original0.detach().numpy(),
+            "c.parametrizations.weight.original1": wn.parametrizations.weight.original1.detach().numpy(),
+            "c.bias": wn.bias.detach().numpy(),
+        }
+        merged = _merge_weight_norm(raw)
+        np.testing.assert_allclose(
+            merged["c.weight"], wn.weight.detach().numpy(), rtol=1e-5, atol=1e-6
+        )
+        assert "c.bias" in merged
+
+    def test_pth_loading(self, tmp_path):
+        import torch
+
+        sd = {"a.weight": torch.randn(3, 4), "b.bias": torch.randn(3)}
+        torch.save(sd, tmp_path / "model.pth")
+        raw = load_raw_checkpoint(tmp_path / "model.pth")
+        np.testing.assert_allclose(raw["a.weight"], sd["a.weight"].numpy())
