@@ -169,6 +169,17 @@ class DualARConfig:
         )
 
     @staticmethod
+    def fish_speech_1_5() -> "DualARConfig":
+        """Fish 1.5 architecture (same backbone as 1.2 with 8 codebooks and
+        the ~100k vocab carrying `<|semantic:N|>` tokens; real runs load
+        the checkpoint's config.json — this is for benchmarks/tests)."""
+        return dataclasses.replace(
+            DualARConfig.fish_speech_1_2(),
+            vocab_size=102048,
+            num_codebooks=8,
+        )
+
+    @staticmethod
     def from_json(path: str | Path) -> "DualARConfig":
         with open(path) as f:
             raw = json.load(f)

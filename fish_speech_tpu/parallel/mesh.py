@@ -1,0 +1,131 @@
+"""Device mesh + sharding specs for the DualAR LM.
+
+Design (scaling-book recipe): pick a mesh, annotate parameter and
+activation shardings, let XLA's SPMD partitioner insert the collectives
+over ICI.
+
+Axes:
+  "dp" — data parallel: batch rows of the KV cache / decode state.
+  "tp" — tensor parallel: attention heads and FFN hidden. The GQA KV-head
+         count (2 for Fish models) bounds useful tp without KV
+         duplication, so tp in {1, 2} for the stock checkpoints; larger
+         DualAR models with more KV heads can raise it.
+
+Because weights are stacked (L, in, out), sharding the out/in axes of the
+per-layer matmuls is a single PartitionSpec per stack entry. Under jit,
+GSPMD propagates these through the scan body: wqkv column-parallel ->
+heads split across tp -> wo row-parallel with a psum on exit, and
+likewise w1/w3 -> w2. The KV cache shards over ("dp", None_heads...) so
+decode rows scale across dp.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fish_speech_tpu.config import DualARConfig
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    tp: int = 1,
+    devices=None,
+) -> Mesh:
+    """Mesh of shape (dp, tp) over the first n_devices devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    assert n_devices % tp == 0, (n_devices, tp)
+    arr = np.asarray(devices).reshape(n_devices // tp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def lm_param_specs(cfg: DualARConfig) -> Dict:
+    """PartitionSpecs matching the DualARParams pytree layout.
+
+    Megatron-style: QKV/FFN-in column-parallel (shard out axis), WO/FFN-out
+    row-parallel (shard in axis); embeddings and heads shard the vocab
+    axis. Norm scales are replicated.
+    """
+    stack = {
+        "wqkv": P(None, None, "tp"),
+        "wo": P(None, "tp", None),
+        "w1": P(None, None, "tp"),
+        "w3": P(None, None, "tp"),
+        "w2": P(None, "tp", None),
+        "attention_norm": P(None, None),
+        "ffn_norm": P(None, None),
+    }
+    return {
+        "embeddings": P("tp", None),
+        "codebook_embeddings": P("tp", None),
+        "fast_embeddings": P("tp", None),
+        "norm": P(None),
+        "fast_norm": P(None),
+        "output": P(None, "tp"),
+        "fast_output": P(None, "tp"),
+        "slow": dict(stack),
+        "fast": dict(stack),
+    }
+
+
+def _place_tree(tree, specs, mesh: Mesh):
+    if isinstance(specs, dict):
+        return {k: _place_tree(tree[k], specs[k], mesh) for k in specs}
+    return jax.device_put(tree, NamedSharding(mesh, specs))
+
+
+def shard_lm_params(params: Dict, mesh: Mesh, cfg: DualARConfig) -> Dict:
+    return _place_tree(params, lm_param_specs(cfg), mesh)
+
+
+def gen_state_specs(cfg: DualARConfig):
+    """Shardings for the GenState pytree: batch rows over dp, KV cache
+    heads over tp (cache layout (L, B, KV, S, hd))."""
+    from fish_speech_tpu.generate.engine import GenState
+    from fish_speech_tpu.models.dual_ar import KVCache
+    from fish_speech_tpu.ops.sampling import RepPenWindow
+
+    return GenState(
+        cache=KVCache(
+            k=P(None, "dp", "tp", None, None),
+            v=P(None, "dp", "tp", None, None),
+        ),
+        pos=P("dp"),
+        prev=P("dp", None),
+        rep_pen=RepPenWindow(tokens=P("dp", None, None), ptr=P()),
+        rng=P(),
+        done=P("dp"),
+    )
+
+
+def shard_gen_state(state, mesh: Mesh, cfg: DualARConfig):
+    from fish_speech_tpu.generate.engine import GenState
+    from fish_speech_tpu.models.dual_ar import KVCache
+    from fish_speech_tpu.ops.sampling import RepPenWindow
+
+    specs = gen_state_specs(cfg)
+
+    def place(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return GenState(
+        cache=KVCache(
+            k=place(state.cache.k, specs.cache.k),
+            v=place(state.cache.v, specs.cache.v),
+        ),
+        pos=place(state.pos, specs.pos),
+        prev=place(state.prev, specs.prev),
+        rep_pen=RepPenWindow(
+            tokens=place(state.rep_pen.tokens, specs.rep_pen.tokens),
+            ptr=place(state.rep_pen.ptr, specs.rep_pen.ptr),
+        ),
+        rng=place(state.rng, specs.rng),
+        done=place(state.done, specs.done),
+    )

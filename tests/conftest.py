@@ -3,7 +3,7 @@ multi-chip sharding paths compile and run without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +12,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU backend and overrides
+# jax_platforms at interpreter boot; override it back after import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # XLA:CPU's batched f32 matmul takes a fast low-precision path by default,
 # which breaks golden-parity tolerances; tests want exact f32.
