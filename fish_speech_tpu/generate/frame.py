@@ -129,13 +129,19 @@ def generate_frame(
         hidden.dtype,
     )
 
-    x = hidden[:, None, :]  # (B, 1, D)
-    codebook_tokens = []
-    for cb in range(cfg.num_codebooks):
-        rng, cb_rng = jax.random.split(rng)
-        cb_logits, fast_cache = fast_decode_step(params, cfg, x, fast_cache, cb)
+    # The per-frame codebook loop runs as a lax.scan (not unrolled): the
+    # compiled graph holds ONE fast-step body regardless of num_codebooks,
+    # which keeps single-core compile times sane and the instruction cache
+    # hot on TPU.
+    cb_rngs = jax.random.split(rng, cfg.num_codebooks)
+    window_rows = jnp.moveaxis(rep_pen.tokens, 1, 0)  # (C, B, W)
+
+    def body(carry, xs):
+        x, cache = carry
+        cb_idx, cb_rng, window_row = xs
+        cb_logits, cache = fast_decode_step(params, cfg, x, cache, cb_idx)
         if rep_pen_enabled:
-            row = RepPenWindow(tokens=rep_pen.tokens[:, cb], ptr=rep_pen.ptr)
+            row = RepPenWindow(tokens=window_row, ptr=rep_pen.ptr)
             cb_logits = row.penalize(cb_logits, sampling.repetition_penalty)
         tok = sample_top_k_top_p(
             cb_logits,
@@ -146,9 +152,14 @@ def generate_frame(
         )
         # EOS frames emit zero codebooks (reference: single_batch.rs:152-155)
         tok = jnp.where(is_eos, 0, tok)
-        codebook_tokens.append(tok)
-        if cb != cfg.num_codebooks - 1:
-            x = fast_embed(params, cfg, tok, cb)
+        x = fast_embed(params, cfg, tok, cb_idx)
+        return (x, cache), tok
 
-    frame = jnp.stack([semantic] + codebook_tokens, axis=1)  # (B, C+1)
+    (_, _), toks = jax.lax.scan(
+        body,
+        (hidden[:, None, :], fast_cache),
+        (jnp.arange(cfg.num_codebooks), cb_rngs, window_rows),
+    )  # toks: (C, B)
+
+    frame = jnp.concatenate([semantic[:, None], toks.T], axis=1)  # (B, C+1)
     return FrameResult(tokens=frame, is_eos=is_eos, rep_pen=rep_pen)

@@ -360,13 +360,14 @@ def fast_decode_step(
     cfg: DualARConfig,
     x: jnp.ndarray,
     cache: KVCache,
-    codebook_idx: int,
+    codebook_idx,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One fast-transformer step along the codebook axis.
 
     x: (B, 1, D) — the slow hidden state (codebook 0) or the embedding of
-    the previously sampled codebook token. codebook_idx is STATIC: the
-    fast loop is unrolled over a fixed number of codebooks.
+    the previously sampled codebook token. codebook_idx may be a Python
+    int or a traced scalar (the per-frame codebook loop runs under
+    lax.scan to keep compiled graphs small).
 
     The fast model's sequence axis is the codebook axis: RoPE is indexed
     by codebook position and the cache holds at most num_codebooks
@@ -391,13 +392,16 @@ def fast_decode_step(
 
     w = params["fast_output"]  # (D, fast_output_size)
     if cfg.depthwise_output:
-        w = w[:, codebook_idx * cfg.codebook_size : (codebook_idx + 1) * cfg.codebook_size]
+        # per-codebook output head slice (reference: dual_ar.rs:661-671)
+        w = jax.lax.dynamic_slice_in_dim(
+            w, codebook_idx * cfg.codebook_size, cfg.codebook_size, axis=1
+        )
     logits = (fast_out @ w).astype(jnp.float32)
     return logits, cache
 
 
 def fast_embed(
-    params: DualARParams, cfg: DualARConfig, token: jnp.ndarray, codebook_idx: int
+    params: DualARParams, cfg: DualARConfig, token: jnp.ndarray, codebook_idx
 ) -> jnp.ndarray:
     """Embed a sampled codebook token for the next fast step.
 

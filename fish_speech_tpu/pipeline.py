@@ -1,0 +1,230 @@
+"""TTSPipeline: text -> tokens -> semantic codes -> PCM, end to end.
+
+The high-level object behind both the CLI tools and the HTTP server,
+combining the pieces the reference wires together in
+server/lib/handlers/speech.rs + fish_speech_core/src/bin/llama_generate.rs:
+text cleaning/chunking, prompt encoding with speaker conditioning,
+KV-cache-reusing chunked generation (with the reference's
+conditioning-prefix retention and runaway reroll), the Fish <=1.4 -1
+token shift, and codec decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Iterator, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from fish_speech_tpu.config import (
+    DEFAULT_MAX_NEW_TOKENS,
+    DualARConfig,
+    FireflyConfig,
+    TokenConfig,
+    WhichLM,
+    WhichModel,
+    default_rep_pen,
+)
+from fish_speech_tpu.generate.engine import GenerationResult, LMEngine
+from fish_speech_tpu.io.checkpoint import load_firefly_params, load_lm_params
+from fish_speech_tpu.models.codec.firefly import FireflyCodec
+from fish_speech_tpu.ops.sampling import SamplingArgs
+from fish_speech_tpu.text.clean import preprocess_text
+from fish_speech_tpu.text.prompt import PromptEncoder
+
+logger = logging.getLogger(__name__)
+
+# Hardcoded 1.5 system prompt (reference: bin/llama_generate.rs:52-66)
+FISH_1_5_SYSPROMPT = "Speak out the provided text."
+
+
+@dataclasses.dataclass
+class SynthesisChunk:
+    pcm: np.ndarray  # (T,) f32 at the codec sample rate
+    codes: np.ndarray  # (C, frames)
+    result: GenerationResult
+
+
+class TTSPipeline:
+    def __init__(
+        self,
+        engine: LMEngine,
+        codec: FireflyCodec,
+        tokenizer,
+        lm: WhichLM,
+        *,
+        max_new_tokens: int = DEFAULT_MAX_NEW_TOKENS,
+        default_sampling: Optional[SamplingArgs] = None,
+    ) -> None:
+        self.engine = engine
+        self.codec = codec
+        self.tokenizer = tokenizer
+        self.lm = lm
+        self.max_new_tokens = max_new_tokens
+        self.default_sampling = default_sampling or SamplingArgs(
+            repetition_penalty=default_rep_pen(lm)
+        )
+        self.prompt_encoder = PromptEncoder(
+            tokenizer, engine.cfg.num_codebooks, lm
+        )
+
+    # -- loading -----------------------------------------------------------
+
+    @staticmethod
+    def load(
+        checkpoint_dir: str | Path,
+        model: WhichModel,
+        *,
+        lm_dtype=jnp.bfloat16,
+        codec_dtype=jnp.float32,
+        codec_file: Optional[str | Path] = None,
+        max_new_tokens: int = DEFAULT_MAX_NEW_TOKENS,
+        cache_len: Optional[int] = None,
+    ) -> "TTSPipeline":
+        """Load config.json + tokenizer.json + weights from a checkpoint
+        directory (reference: server/lib/utils/load.rs:62-188)."""
+        from tokenizers import Tokenizer
+
+        checkpoint_dir = Path(checkpoint_dir)
+        lm = WhichLM.from_model(model)
+        cfg_path = checkpoint_dir / "config.json"
+        cfg = (
+            DualARConfig.from_json(cfg_path)
+            if cfg_path.exists()
+            else DualARConfig.fish_speech_1_2()
+        )
+        tokenizer = Tokenizer.from_file(str(checkpoint_dir / "tokenizer.json"))
+        token_cfg = TokenConfig.from_tokenizer(lm, tokenizer, cfg)
+
+        t0 = time.perf_counter()
+        params = load_lm_params(checkpoint_dir, cfg, dtype=lm_dtype)
+        engine = LMEngine(
+            params, cfg, token_cfg, lm,
+            cache_len=cache_len, dtype=lm_dtype,
+        )
+        logger.info("LM loaded in %.1fs", time.perf_counter() - t0)
+
+        fish_version = model.fish_version
+        if fish_version is None:
+            raise NotImplementedError(
+                "Mimi codec for generic DualAR models is not wired up yet; "
+                "use a Fish checkpoint"
+            )
+        codec_cfg = FireflyConfig.for_version(fish_version)
+        codec_params = load_firefly_params(
+            codec_file if codec_file is not None else checkpoint_dir,
+            codec_cfg,
+            dtype=codec_dtype,
+        )
+        codec = FireflyCodec(codec_params, codec_cfg)
+        return TTSPipeline(
+            engine, codec, tokenizer, lm, max_new_tokens=max_new_tokens
+        )
+
+    # -- generation --------------------------------------------------------
+
+    def _shift_output_tokens(self, codes: np.ndarray) -> np.ndarray:
+        """Fish <=1.4 codebook tokens come out +1; shift back
+        (reference: handlers/speech.rs:63-68)."""
+        if self.lm.uses_explicit_semantic_ids:
+            return codes
+        return np.maximum(codes.astype(np.int64) - 1, 0).astype(np.int32)
+
+    def _generate_codes_chunked(
+        self,
+        encoded_chunks: List[np.ndarray],
+        n_conditioning: int,
+        sampling: SamplingArgs,
+        max_new_tokens: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> Iterator[SynthesisChunk]:
+        """Generate per chunk with conditioning-prefix cache retention and
+        one reroll on suspected runaway (reference: speech.rs:19-71)."""
+        max_new = max_new_tokens or self.max_new_tokens
+        state = self.engine.init_state(seed)
+        cond_len = 0
+        for i, chunk_tokens in enumerate(encoded_chunks):
+            offset = cond_len if i > 0 else 0
+            result, state = self.engine.generate(
+                chunk_tokens,
+                max_new_tokens=max_new,
+                sampling=sampling,
+                state=state,
+                conditioning_offset=offset,
+            )
+            if result.hit_max:
+                logger.warning("Suspected runaway generation; rerolling once")
+                state = self.engine.rewind(state, offset)
+                result, state = self.engine.generate(
+                    chunk_tokens,
+                    max_new_tokens=max_new,
+                    sampling=sampling,
+                    state=state,
+                    conditioning_offset=offset,
+                )
+                if result.hit_max:
+                    raise RuntimeError(
+                        "Generation ran away twice; bailing (reference "
+                        "behavior: speech.rs:41-61)"
+                    )
+            if i == 0:
+                cond_len = n_conditioning
+            state = self.engine.rewind(state, cond_len)
+
+            codes = self._shift_output_tokens(result.tokens)
+            pcm = self.codec.decode(codes)[0]
+            yield SynthesisChunk(pcm=pcm, codes=codes, result=result)
+
+    def synthesize_streaming(
+        self,
+        text: str,
+        voice_tokens: Optional[np.ndarray] = None,
+        voice_text: Optional[str] = None,
+        *,
+        sampling: Optional[SamplingArgs] = None,
+        sysprompt: Optional[str] = None,
+        max_new_tokens: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> Iterator[SynthesisChunk]:
+        """Yield one decoded PCM chunk per text chunk."""
+        sampling = sampling or self.default_sampling
+        chunks = preprocess_text(text)
+        if not chunks:
+            return
+
+        if sysprompt is None and self.lm == WhichLM.FISH_1_5:
+            sysprompt = FISH_1_5_SYSPROMPT
+
+        speaker = None
+        if voice_tokens is not None:
+            speaker = self.prompt_encoder.encode_conditioning_prompt(
+                voice_text or "", voice_tokens
+            )
+        n_cond, encoded = self.prompt_encoder.encode_sequence(
+            chunks,
+            sysprompt_text=sysprompt,
+            cached_speaker=speaker,
+            assume_kv_cache=True,
+        )
+        yield from self._generate_codes_chunked(
+            encoded, n_cond, sampling, max_new_tokens, seed
+        )
+
+    def synthesize(self, text: str, **kwargs) -> np.ndarray:
+        """Blocking synthesis: full PCM at the codec sample rate."""
+        parts = [c.pcm for c in self.synthesize_streaming(text, **kwargs)]
+        if not parts:
+            return np.zeros((0,), np.float32)
+        return np.concatenate(parts)
+
+    def encode_reference_audio(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
+        """wav -> codec tokens for voice cloning
+        (reference: handlers/encode_speech.rs:36-94)."""
+        from fish_speech_tpu.audio.resample import resample
+
+        audio = resample(audio, sample_rate, self.codec.sample_rate)
+        return self.codec.encode(audio)[0]
