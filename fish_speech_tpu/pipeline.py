@@ -185,12 +185,18 @@ class TTSPipeline:
         voice_tokens: Optional[np.ndarray] = None,
         voice_text: Optional[str] = None,
         *,
+        voice_conditioning: Optional[np.ndarray] = None,
         sampling: Optional[SamplingArgs] = None,
         sysprompt: Optional[str] = None,
         max_new_tokens: Optional[int] = None,
         seed: Optional[int] = None,
     ) -> Iterator[SynthesisChunk]:
-        """Yield one decoded PCM chunk per text chunk."""
+        """Yield one decoded PCM chunk per text chunk.
+
+        voice_conditioning: a pre-encoded (C+1, N) conditioning prompt
+        (what the server's voice registry stores); voice_tokens/voice_text
+        are raw codec tokens + transcript encoded on the fly.
+        """
         sampling = sampling or self.default_sampling
         chunks = preprocess_text(text)
         if not chunks:
@@ -199,8 +205,8 @@ class TTSPipeline:
         if sysprompt is None and self.lm == WhichLM.FISH_1_5:
             sysprompt = FISH_1_5_SYSPROMPT
 
-        speaker = None
-        if voice_tokens is not None:
+        speaker = voice_conditioning
+        if speaker is None and voice_tokens is not None:
             speaker = self.prompt_encoder.encode_conditioning_prompt(
                 voice_text or "", voice_tokens
             )

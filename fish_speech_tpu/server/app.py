@@ -1,0 +1,192 @@
+"""OpenAI-compatible TTS server.
+
+Routes (reference: server/src/main.rs:61-64):
+  POST /v1/audio/speech    — text -> WAV body, or streaming Ogg/Opus when
+                             response_format == "opus"
+  POST /v1/audio/encoding  — multipart WAV -> .npy codec tokens; optional
+                             ?id=&prompt= registers the voice in-memory
+  GET  /v1/voices          — list registered voices
+
+Built on aiohttp. Generation runs in a worker thread; an asyncio lock
+serializes access to the engine (the reference serializes on a tokio
+mutex, state.rs:13 — replacing this with continuous decode batching
+across requests is the next step on the serving roadmap and the engine's
+per-row decode state is already built for it).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import io
+import json
+import logging
+from typing import Dict, Optional
+
+import numpy as np
+from aiohttp import web
+
+from fish_speech_tpu.audio.resample import resample
+from fish_speech_tpu.audio.wav import pcm_to_wav_bytes, read_wav
+from fish_speech_tpu.pipeline import TTSPipeline
+
+logger = logging.getLogger(__name__)
+
+MAX_BODY_SIZE = 32 * 1024 * 1024  # 32 MiB, matching main.rs:69
+OPUS_RATE = 24000
+
+
+class AppState:
+    """(reference: server/lib/state.rs:12-29)."""
+
+    def __init__(
+        self,
+        pipeline: TTSPipeline,
+        voices: Optional[Dict[str, np.ndarray]] = None,
+        default_voice: Optional[np.ndarray] = None,
+    ) -> None:
+        self.pipeline = pipeline
+        self.voices: Dict[str, np.ndarray] = voices or {}
+        self.default_voice = default_voice
+        self.lock = asyncio.Lock()  # serializes engine access
+
+
+def _resolve_voice(state: AppState, name: str) -> Optional[np.ndarray]:
+    """'unconditioned' -> None; unknown names fall back to the default
+    voice (reference: handlers/speech.rs:258-270)."""
+    if name == "unconditioned":
+        return None
+    return state.voices.get(name, state.default_voice)
+
+
+async def handle_speech(request: web.Request) -> web.StreamResponse:
+    state: AppState = request.app["state"]
+    body = await request.json()
+    text = body.get("input", "")
+    voice = body.get("voice", "default")
+    response_format = body.get("response_format")
+    # `speaker_prompt` overrides the system prompt (reference:
+    # handlers/speech.rs:283-290 — despite the name, it is sysprompt text)
+    sysprompt = body.get("speaker_prompt")
+    seed = body.get("seed")
+    max_new = body.get("max_new_tokens")
+
+    conditioning = _resolve_voice(state, voice)
+    pipeline = state.pipeline
+
+    kwargs = dict(
+        voice_conditioning=conditioning,
+        sysprompt=sysprompt,
+        seed=seed,
+        max_new_tokens=max_new,
+    )
+
+    if response_format == "opus":
+        from fish_speech_tpu.audio.opus import OggOpusEncoder
+
+        if not OggOpusEncoder.available():
+            raise web.HTTPNotImplemented(
+                text="opus streaming requires the native encoder "
+                "(native/libfishaudio.so)"
+            )
+        resp = web.StreamResponse(
+            status=200,
+            headers={"Content-Type": "audio/ogg"},
+        )
+        resp.enable_chunked_encoding()
+        await resp.prepare(request)
+        encoder = OggOpusEncoder(OPUS_RATE)
+        await resp.write(encoder.header())
+
+        async with state.lock:
+            loop = asyncio.get_running_loop()
+            gen = pipeline.synthesize_streaming(text, **kwargs)
+            while True:
+                chunk = await loop.run_in_executor(None, next, gen, None)
+                if chunk is None:
+                    break
+                pcm24 = resample(chunk.pcm, pipeline.codec.sample_rate, OPUS_RATE)
+                data = encoder.encode(pcm24)
+                # stream in 1024-byte chunks like the reference
+                # (speech.rs:216-223)
+                for i in range(0, len(data), 1024):
+                    await resp.write(data[i : i + 1024])
+            tail = encoder.encode(np.zeros(0, np.float32), final=True)
+            if tail:
+                await resp.write(tail)
+        encoder.close()
+        await resp.write_eof()
+        return resp
+
+    # blocking WAV path
+    async with state.lock:
+        pcm = await asyncio.to_thread(pipeline.synthesize, text, **kwargs)
+    wav = pcm_to_wav_bytes(pcm, pipeline.codec.sample_rate)
+    return web.Response(body=wav, content_type="audio/wav")
+
+
+async def handle_encoding(request: web.Request) -> web.Response:
+    """(reference: handlers/encode_speech.rs:36-94)."""
+    state: AppState = request.app["state"]
+    pipeline = state.pipeline
+
+    reader = await request.multipart()
+    field = await reader.next()
+    if field is None:
+        raise web.HTTPBadRequest(text="No file provided")
+    data = await field.read(decode=False)
+
+    audio, sr = read_wav(data)
+    async with state.lock:
+        codes = await asyncio.to_thread(
+            pipeline.encode_reference_audio, audio, sr
+        )
+
+    voice_id = request.query.get("id")
+    prompt_text = request.query.get("prompt")
+    if voice_id and prompt_text:
+        if voice_id in state.voices:
+            raise web.HTTPInternalServerError(
+                text=f"ID already exists on server: {voice_id}"
+            )
+        state.voices[voice_id] = (
+            pipeline.prompt_encoder.encode_conditioning_prompt(prompt_text, codes)
+        )
+
+    buf = io.BytesIO()
+    np.save(buf, codes.astype(np.uint32))
+    return web.Response(
+        body=buf.getvalue(), content_type="application/x-npy"
+    )
+
+
+async def handle_voices(request: web.Request) -> web.Response:
+    """(reference: handlers/supported_voices.rs:6-14)."""
+    state: AppState = request.app["state"]
+    return web.json_response({"voices": sorted(state.voices.keys())})
+
+
+@web.middleware
+async def error_middleware(request: web.Request, handler):
+    """anyhow -> 500 + log (reference: handlers/error.rs:4-38)."""
+    try:
+        return await handler(request)
+    except web.HTTPException:
+        raise
+    except Exception as exc:  # noqa: BLE001
+        logger.exception("request failed")
+        return web.json_response({"error": str(exc)}, status=500)
+
+
+def create_app(state: AppState) -> web.Application:
+    app = web.Application(
+        client_max_size=MAX_BODY_SIZE, middlewares=[error_middleware]
+    )
+    app["state"] = state
+    app.router.add_post("/v1/audio/speech", handle_speech)
+    app.router.add_post("/v1/audio/encoding", handle_encoding)
+    app.router.add_get("/v1/voices", handle_voices)
+    return app
+
+
+def serve(state: AppState, port: int = 3000) -> None:
+    web.run_app(create_app(state), port=port)

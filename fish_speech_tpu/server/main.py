@@ -1,0 +1,81 @@
+"""Server entrypoint.
+
+Counterpart of reference: server/src/main.rs + server/lib/utils/load.rs.
+Usage:
+  python -m fish_speech_tpu.server.main --checkpoint <dir> \
+      --fish-version 1.5 --voice-dir ./voices --port 3000
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax.numpy as jnp
+
+from fish_speech_tpu.config import (
+    DEFAULT_MAX_NEW_TOKENS,
+    DEFAULT_TEMP,
+    DEFAULT_TOP_K,
+    DEFAULT_TOP_P,
+    WhichModel,
+    default_rep_pen,
+)
+from fish_speech_tpu.ops.sampling import SamplingArgs
+from fish_speech_tpu.pipeline import TTSPipeline
+from fish_speech_tpu.server.app import AppState, serve
+from fish_speech_tpu.server.voices import load_speaker_prompts
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="fish_speech_tpu server")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument(
+        "--fish-version",
+        default="1.5",
+        choices=["1.2", "1.4", "1.5", "dual_ar"],
+        help="model version (reference: load.rs:24-48)",
+    )
+    parser.add_argument("--voice-dir", default="voices")
+    parser.add_argument("--port", type=int, default=3000)
+    parser.add_argument("--temp", type=float, default=DEFAULT_TEMP)
+    parser.add_argument("--top-p", type=float, default=DEFAULT_TOP_P)
+    parser.add_argument("--top-k", type=int, default=DEFAULT_TOP_K)
+    parser.add_argument("--rep-pen", type=float, default=None)
+    parser.add_argument(
+        "--max-new-tokens", type=int, default=DEFAULT_MAX_NEW_TOKENS
+    )
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    model = WhichModel(args.fish_version)
+    pipeline = TTSPipeline.load(
+        args.checkpoint,
+        model,
+        lm_dtype=jnp.bfloat16,
+        codec_dtype=jnp.float32,  # server loads codec f32 (load.rs:161-164)
+        max_new_tokens=args.max_new_tokens,
+    )
+    rep_pen = (
+        args.rep_pen
+        if args.rep_pen is not None
+        else default_rep_pen(pipeline.lm)
+    )
+    pipeline.default_sampling = SamplingArgs(
+        temp=args.temp,
+        top_p=args.top_p,
+        top_k=args.top_k,
+        repetition_penalty=rep_pen,
+    )
+
+    voices, default_voice = load_speaker_prompts(
+        args.voice_dir,
+        pipeline.prompt_encoder,
+        pipeline.engine.cfg.num_codebooks,
+    )
+    state = AppState(pipeline, voices, default_voice)
+    serve(state, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,238 @@
+"""In-process server smoke tests with a tiny random-weight pipeline
+(the automated analogue of the reference's benchmark.rs server harness)."""
+
+import asyncio
+import io
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from fish_speech_tpu.config import (
+    BackboneConfig,
+    DownsampleFSQConfig,
+    DualARConfig,
+    FireflyConfig,
+    FishVersion,
+    HiFiGANConfig,
+    SpecTransformConfig,
+    TokenConfig,
+    WhichLM,
+)
+from fish_speech_tpu.audio.wav import pcm_to_wav_bytes
+from fish_speech_tpu.generate.engine import LMEngine
+from fish_speech_tpu.models.codec.firefly import FireflyCodec, init_firefly_params
+from fish_speech_tpu.models.dual_ar import init_dual_ar_params
+from fish_speech_tpu.pipeline import TTSPipeline
+from fish_speech_tpu.server.app import AppState, create_app
+
+NUM_CODEBOOKS = 2
+
+LM_CFG = DualARConfig(
+    vocab_size=200,
+    n_layer=2,
+    n_fast_layer=2,
+    n_head=4,
+    dim=32,
+    intermediate_size=64,
+    n_local_heads=2,
+    head_dim=8,
+    rope_base=10000.0,
+    norm_eps=1e-6,
+    max_seq_len=128,
+    codebook_size=8,
+    num_codebooks=NUM_CODEBOOKS,
+)
+TOK = TokenConfig(im_end_id=109, pad_id=5, semantic_start_id=110, semantic_end_id=117)
+
+CODEC_CFG = FireflyConfig(
+    spec_transform=SpecTransformConfig(
+        sample_rate=44100, n_mels=20, n_fft=256, hop_length=64, win_length=256
+    ),
+    backbone=BackboneConfig(input_channels=20, depths=(1, 1), dims=(16, 32), kernel_size=7),
+    head=HiFiGANConfig(
+        hop_length=64, upsample_rates=(8, 8), upsample_kernel_sizes=(16, 16),
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        num_mels=32, upsample_initial_channel=32,
+        pre_conv_kernel_size=7, post_conv_kernel_size=7,
+    ),
+    quantizer=DownsampleFSQConfig(
+        input_dim=32, n_groups=NUM_CODEBOOKS, n_codebooks=1,
+        levels=(8, 5, 5, 5), downsample_factor=(2,),
+    ),
+    version=FishVersion.V1_5,
+)
+
+
+class DummyTokenizer:
+    """Minimal tokenizers.Tokenizer lookalike: whitespace word-hash ids,
+    special tokens mapped to fixed ids."""
+
+    SPECIALS = {
+        "<|im_start|>": 1,
+        "<|im_end|>": 109,
+        "<|semantic|>": 5,
+        "<|voice|>": 99,
+        "<|semantic:0|>": 110,
+    }
+
+    class _Enc:
+        def __init__(self, ids):
+            self.ids = ids
+
+    def token_to_id(self, tok):
+        return self.SPECIALS.get(tok)
+
+    def encode(self, text, add_special_tokens=True):
+        ids = []
+        i = 0
+        while i < len(text):
+            matched = False
+            for sp, sid in self.SPECIALS.items():
+                if text.startswith(sp, i):
+                    ids.append(sid)
+                    i += len(sp)
+                    matched = True
+                    break
+            if not matched:
+                j = i
+                while j < len(text) and not text.startswith("<|", j):
+                    j += 1
+                for word in text[i:j].split():
+                    ids.append(10 + (hash(word) % 80))
+                i = j
+        return self._Enc(ids)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    params = init_dual_ar_params(jax.random.PRNGKey(0), LM_CFG, dtype=jnp.float32)
+    engine = LMEngine(
+        params, LM_CFG, TOK, WhichLM.FISH_1_5,
+        cache_len=128, max_frames=8, dtype=jnp.float32, prompt_buckets=(64, 128),
+    )
+    codec_params = init_firefly_params(jax.random.PRNGKey(1), CODEC_CFG)
+    codec = FireflyCodec(codec_params, CODEC_CFG, buckets=(8, 16))
+    return TTSPipeline(
+        engine, codec, DummyTokenizer(), WhichLM.FISH_1_5, max_new_tokens=8
+    )
+
+
+@pytest.fixture()
+def state(pipeline):
+    voice = pipeline.prompt_encoder.encode_conditioning_prompt(
+        "hi", np.zeros((NUM_CODEBOOKS, 3), np.int32)
+    )
+    return AppState(pipeline, {"default": voice}, voice)
+
+
+async def _run(state, fn):
+    import aiohttp
+
+    app = create_app(state)
+    server = TestServer(app)
+    # generous timeout: first-call jit compiles share one CPU core in CI
+    client = TestClient(server, timeout=aiohttp.ClientTimeout(total=1800))
+    await client.start_server()
+    try:
+        return await fn(client)
+    finally:
+        await client.close()
+
+
+def _sync(coro):
+    return asyncio.run(coro)
+
+
+def test_voices_route(state):
+    async def fn(client):
+        resp = await client.get("/v1/voices")
+        assert resp.status == 200
+        return await resp.json()
+
+    data = _sync(_run(state, fn))
+    assert data == {"voices": ["default"]}
+
+
+def test_speech_route_wav(state):
+    async def fn(client):
+        resp = await client.post(
+            "/v1/audio/speech",
+            json={"model": "fish", "voice": "default", "input": "Hello world."},
+        )
+        assert resp.status == 200, await resp.text()
+        assert resp.content_type == "audio/wav"
+        return await resp.read()
+
+    wav = _sync(_run(state, fn))
+    assert wav[:4] == b"RIFF"
+    from fish_speech_tpu.audio.wav import read_wav
+
+    pcm, sr = read_wav(wav)
+    assert sr == 44100
+    assert pcm.shape[0] > 0
+
+
+def test_speech_route_unconditioned(state):
+    async def fn(client):
+        resp = await client.post(
+            "/v1/audio/speech",
+            json={"model": "fish", "voice": "unconditioned", "input": "Hi."},
+        )
+        assert resp.status == 200, await resp.text()
+        return await resp.read()
+
+    wav = _sync(_run(state, fn))
+    assert wav[:4] == b"RIFF"
+
+
+def test_encoding_route_registers_voice(state):
+    audio = (np.random.default_rng(0).normal(size=6400) * 0.1).astype(np.float32)
+    wav_bytes = pcm_to_wav_bytes(audio, 44100)
+
+    async def fn(client):
+        import aiohttp
+
+        form = aiohttp.FormData()
+        form.add_field("file", wav_bytes, filename="ref.wav", content_type="audio/wav")
+        resp = await client.post(
+            "/v1/audio/encoding?id=cloned&prompt=hello", data=form
+        )
+        assert resp.status == 200, await resp.text()
+        assert resp.content_type == "application/x-npy"
+        body = await resp.read()
+        resp2 = await client.get("/v1/voices")
+        return body, await resp2.json()
+
+    body, voices = _sync(_run(state, fn))
+    codes = np.load(io.BytesIO(body))
+    assert codes.shape[0] == NUM_CODEBOOKS
+    assert "cloned" in voices["voices"]
+
+
+def test_opus_streaming_route(state):
+    from fish_speech_tpu.audio.opus import OggOpusEncoder
+
+    if not OggOpusEncoder.available():
+        pytest.skip("native opus unavailable")
+
+    async def fn(client):
+        resp = await client.post(
+            "/v1/audio/speech",
+            json={
+                "model": "fish",
+                "voice": "default",
+                "input": "Hello.",
+                "response_format": "opus",
+            },
+        )
+        assert resp.status == 200
+        assert resp.content_type == "audio/ogg"
+        return await resp.read()
+
+    data = _sync(_run(state, fn))
+    assert data[:4] == b"OggS"
+    assert b"OpusHead" in data[:64]
