@@ -140,14 +140,19 @@ class LMEngine:
     # -- jitted kernels ---------------------------------------------------
 
     def _get_prefill(self, sampling: SamplingArgs):
+        """Jitted prefill+first-frame. `params` flows through as a jit
+        ARGUMENT — closing over the weights would embed them as compiler
+        constants, which the TPU toolchain ingests per program and blows
+        compile times up by >10x (measured: 6s as an argument vs 8+ min
+        captured for the same graph)."""
         key = sampling
         if key not in self._prefill_jit:
 
-            @partial(jax.jit, donate_argnums=(1,))
-            def prefill_fn(tokens, state: GenState, seq_lens, offset):
+            @partial(jax.jit, donate_argnums=(2,))
+            def prefill_fn(params, tokens, state: GenState, seq_lens, offset):
                 rng, frame_rng = jax.random.split(state.rng)
                 logits, hidden, cache = slow_prefill(
-                    self.params,
+                    params,
                     self.cfg,
                     self.token_cfg,
                     tokens,
@@ -157,7 +162,7 @@ class LMEngine:
                     offset,
                 )
                 res: FrameResult = generate_frame(
-                    self.params,
+                    params,
                     self.cfg,
                     self.token_cfg,
                     self.lm,
@@ -184,13 +189,13 @@ class LMEngine:
             self._prefill_jit[key] = prefill_fn
         return self._prefill_jit[key]
 
-    def _decode_body(self, sampling: SamplingArgs, state: GenState):
+    def _decode_body(self, params, sampling: SamplingArgs, state: GenState):
         rng, frame_rng = jax.random.split(state.rng)
         logits, hidden, cache = slow_decode_step(
-            self.params, self.cfg, self.token_cfg, state.prev, state.cache, state.pos
+            params, self.cfg, self.token_cfg, state.prev, state.cache, state.pos
         )
         res: FrameResult = generate_frame(
-            self.params,
+            params,
             self.cfg,
             self.token_cfg,
             self.lm,
@@ -222,8 +227,8 @@ class LMEngine:
         if key not in self._decode_jit:
             cap = self.max_frames
 
-            @partial(jax.jit, donate_argnums=(0,))
-            def decode_loop(state: GenState, max_steps):
+            @partial(jax.jit, donate_argnums=(1,))
+            def decode_loop(params, state: GenState, max_steps):
                 b, c = self.batch_size, self.cfg.num_codebooks
                 out = jnp.zeros((cap, b, c + 1), jnp.int32)
                 valid = jnp.zeros((cap, b), bool)
@@ -235,7 +240,7 @@ class LMEngine:
                 def body(carry):
                     state, out, valid, step = carry
                     was_done = state.done
-                    state, frame = self._decode_body(sampling, state)
+                    state, frame = self._decode_body(params, sampling, state)
                     out = jax.lax.dynamic_update_slice(
                         out, frame[None], (step, 0, 0)
                     )
@@ -251,19 +256,23 @@ class LMEngine:
                 return state, out, valid, step
 
             self._decode_jit[key] = decode_loop
-        return self._decode_jit[key]
+        params = self.params
+        fn = self._decode_jit[key]
+        return lambda state, max_steps: fn(params, state, max_steps)
 
     def _get_step(self, sampling: SamplingArgs):
         """Single decode frame, jitted — used by the streaming path."""
         key = ("step", sampling)
         if key not in self._decode_jit:
 
-            @partial(jax.jit, donate_argnums=(0,))
-            def step_fn(state: GenState):
-                return self._decode_body(sampling, state)
+            @partial(jax.jit, donate_argnums=(1,))
+            def step_fn(params, state: GenState):
+                return self._decode_body(params, sampling, state)
 
             self._decode_jit[key] = step_fn
-        return self._decode_jit[key]
+        params = self.params
+        fn = self._decode_jit[key]
+        return lambda state: fn(params, state)
 
     # -- drivers ----------------------------------------------------------
 
@@ -287,7 +296,9 @@ class LMEngine:
         padded[:, :, :s] = prompt
         seq_lens = jnp.full((b,), s, jnp.int32)
         fn = self._get_prefill(sampling)
-        return fn(jnp.asarray(padded), state, seq_lens, jnp.int32(offset))
+        return fn(
+            self.params, jnp.asarray(padded), state, seq_lens, jnp.int32(offset)
+        )
 
     def generate(
         self,

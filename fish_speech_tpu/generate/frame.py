@@ -18,9 +18,9 @@ import jax.numpy as jnp
 from fish_speech_tpu.config import DualARConfig, TokenConfig, WhichLM
 from fish_speech_tpu.models.dual_ar import (
     DualARParams,
-    KVCache,
-    fast_decode_step,
     fast_embed,
+    fast_hist_init,
+    fast_step,
 )
 from fish_speech_tpu.ops.sampling import (
     RepPenWindow,
@@ -120,46 +120,35 @@ def generate_frame(
     if prev_tokens is not None and rep_pen_enabled:
         rep_pen = rep_pen.push(prev_tokens[:, 1:])
 
-    fast_cache = KVCache.init(
-        cfg.n_fast_layer,
-        b,
-        cfg.n_local_heads,
-        cfg.num_codebooks,
-        cfg.head_dim,
-        hidden.dtype,
-    )
-
-    # The per-frame codebook loop runs as a lax.scan (not unrolled): the
-    # compiled graph holds ONE fast-step body regardless of num_codebooks,
-    # which keeps single-core compile times sane and the instruction cache
-    # hot on TPU.
+    # The per-frame codebook loop is UNROLLED in Python: with <= 8 steps of
+    # a 4-layer model every shape and index is static, the fast "cache" is
+    # a concat-grown history (no pre-allocated buffer, no dynamic-index
+    # updates), and no mask is needed. A lax.scan version of this loop
+    # (traced codebook index into RoPE/cache/mask) compiles ~10x slower on
+    # the TPU toolchain and runs no faster; the unrolled form is both the
+    # simplest and the fastest here.
     cb_rngs = jax.random.split(rng, cfg.num_codebooks)
-    window_rows = jnp.moveaxis(rep_pen.tokens, 1, 0)  # (C, B, W)
-
-    def body(carry, xs):
-        x, cache = carry
-        cb_idx, cb_rng, window_row = xs
-        cb_logits, cache = fast_decode_step(params, cfg, x, cache, cb_idx)
+    hist = fast_hist_init(cfg, b, hidden.dtype)
+    x = hidden[:, None, :]
+    toks = []
+    for cb in range(cfg.num_codebooks):
+        cb_logits, hist = fast_step(params, cfg, x, hist, cb)
         if rep_pen_enabled:
-            row = RepPenWindow(tokens=window_row, ptr=rep_pen.ptr)
+            row = RepPenWindow(tokens=rep_pen.tokens[:, cb], ptr=rep_pen.ptr)
             cb_logits = row.penalize(cb_logits, sampling.repetition_penalty)
         tok = sample_top_k_top_p(
             cb_logits,
-            cb_rng,
+            cb_rngs[cb],
             temp=sampling.temp,
             top_p=sampling.top_p,
             top_k=sampling.top_k,
         )
         # EOS frames emit zero codebooks (reference: single_batch.rs:152-155)
         tok = jnp.where(is_eos, 0, tok)
-        x = fast_embed(params, cfg, tok, cb_idx)
-        return (x, cache), tok
+        x = fast_embed(params, cfg, tok, cb)
+        toks.append(tok)
 
-    (_, _), toks = jax.lax.scan(
-        body,
-        (hidden[:, None, :], fast_cache),
-        (jnp.arange(cfg.num_codebooks), cb_rngs, window_rows),
-    )  # toks: (C, B)
-
-    frame = jnp.concatenate([semantic[:, None], toks.T], axis=1)  # (B, C+1)
+    frame = jnp.concatenate(
+        [semantic[:, None], jnp.stack(toks, axis=1)], axis=1
+    )  # (B, C+1)
     return FrameResult(tokens=frame, is_eos=is_eos, rep_pen=rep_pen)

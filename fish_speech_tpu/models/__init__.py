@@ -7,5 +7,6 @@ from fish_speech_tpu.models.dual_ar import (  # noqa: F401
     embed_tokens,
     slow_prefill,
     slow_decode_step,
-    fast_decode_step,
+    fast_hist_init,
+    fast_step,
 )

@@ -96,19 +96,22 @@ class FireflyCodec:
         self.spec_transform = LogMelSpectrogram(cfg.spec_transform)
         self.buckets = buckets
 
-        self._decode_jit = partial(jax.jit(self._decode_fn))
-        self._encode_jit = partial(jax.jit(self._encode_fn))
+        # params flow through as jit ARGUMENTS, never closure captures:
+        # weights captured as jit constants get re-uploaded/ingested by the
+        # compiler per program and blow compile time up by >10x on TPU.
+        self._decode_jit = jax.jit(self._decode_fn)
+        self._encode_jit = jax.jit(self._encode_fn)
 
-    def _decode_fn(self, indices, feature_lengths):
-        return firefly_decode(self.params, self.cfg, indices, feature_lengths)
+    def _decode_fn(self, params, indices, feature_lengths):
+        return firefly_decode(params, self.cfg, indices, feature_lengths)
 
-    def _encode_fn(self, mel, mel_lengths):
+    def _encode_fn(self, params, mel, mel_lengths):
         frame_mask = (
             jnp.arange(mel.shape[-1])[None, :] < mel_lengths[:, None]
         )
         # padded tail takes the log-clamp floor value, like silence would
         mel = jnp.where(frame_mask[:, None, :], mel, float(np.log(1e-5)))
-        return firefly_encode_mel(self.params, self.cfg, mel)
+        return firefly_encode_mel(params, self.cfg, mel)
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -127,7 +130,9 @@ class FireflyCodec:
         padded = np.zeros((b, c, tb), np.int32)
         padded[:, :, :t] = codes
         lengths = jnp.full((b,), t, jnp.int32)
-        audio = np.asarray(self._decode_jit(jnp.asarray(padded), lengths))
+        audio = np.asarray(
+            self._decode_jit(self.params, jnp.asarray(padded), lengths)
+        )
         real = t * self.cfg.quantizer.total_downsample * self.cfg.spec_transform.hop_length
         return audio[:, 0, :real]
 
@@ -144,7 +149,9 @@ class FireflyCodec:
             mel[i, :, : m.shape[-1]] = np.asarray(m[0])
             lengths.append(m.shape[-1])
         codes = np.asarray(
-            self._encode_jit(jnp.asarray(mel), jnp.asarray(lengths, jnp.int32))
+            self._encode_jit(
+                self.params, jnp.asarray(mel), jnp.asarray(lengths, jnp.int32)
+            )
         )
         # trim to the real (downsampled) code length of the longest row
         t_out = max(

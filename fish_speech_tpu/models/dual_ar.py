@@ -32,7 +32,8 @@ forward pass is `x @ w`; the checkpoint loader transposes from torch's
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from functools import lru_cache
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -194,7 +195,11 @@ def _layer_prefill(x, lp, ck, cv, cos, sin, mask, slot, offset, cfg: DualARConfi
     """One block over a contiguous row range [slot, slot+B) at seq offset.
 
     x: (B, S, D); ck/cv: (B_total, KV, S_max, hd). Returns updated row
-    cache written back into the full buffer.
+    cache written back into the full buffer. `slot` must be a static int;
+    `offset` may be traced — the cache write is a scatter at computed
+    positions, NOT dynamic_update_slice: a traced-offset DUS inside the
+    layer scan sends the TPU compiler into a >10-minute pass, while the
+    equivalent scatter compiles in seconds (same story as the decode path).
     """
     b, s, d = x.shape
     h = rms_norm(x, lp["attention_norm"], cfg.norm_eps)
@@ -202,10 +207,17 @@ def _layer_prefill(x, lp, ck, cv, cos, sin, mask, slot, offset, cfg: DualARConfi
     q = apply_rope_interleaved(q, cos, sin)
     k = apply_rope_interleaved(k, cos, sin)
 
-    ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (slot, 0, offset, 0))
-    cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (slot, 0, offset, 0))
-    rows_k = jax.lax.dynamic_slice_in_dim(ck, slot, b, axis=0)
-    rows_v = jax.lax.dynamic_slice_in_dim(cv, slot, b, axis=0)
+    pos_idx = offset + jnp.arange(s)  # (S,) absolute cache positions
+    row_idx = slot + jnp.arange(b)  # (B,) static row range
+    # (B,1) x (1,S) advanced indices over dims (0, 2) -> value (B, S, KV, hd)
+    ck = ck.at[row_idx[:, None], :, pos_idx[None, :], :].set(
+        k.astype(ck.dtype).transpose(0, 2, 1, 3)
+    )
+    cv = cv.at[row_idx[:, None], :, pos_idx[None, :], :].set(
+        v.astype(cv.dtype).transpose(0, 2, 1, 3)
+    )
+    rows_k = ck[slot : slot + b]
+    rows_v = cv[slot : slot + b]
 
     scale = 1.0 / (cfg.head_dim**0.5)
     attn = gqa_attention(q, rows_k, rows_v, mask, scale)
@@ -258,17 +270,35 @@ def _scan_stack(layer_fn, stack, x, cache: KVCache):
 # --------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=None)
+def rope_tables(head_dim: int, max_seq_len: int, rope_base: float):
+    """Concrete (cos, sin) device arrays, computed once per config.
+
+    Deliberately NOT computed inside traced functions: the table is tiny
+    (max_seq_len x head_dim/2) but re-deriving it per trace makes XLA
+    constant-fold a trig subgraph into every program, which measurably
+    bloats TPU compile times for the many small programs of the decode
+    path. As a cached concrete array it is captured by reference.
+    """
+    with jax.ensure_compile_time_eval():
+        cos, sin = precompute_freqs_cis(head_dim, max_seq_len, rope_base)
+    return jax.block_until_ready(cos), jax.block_until_ready(sin)
+
+
 def _rope_slice(cfg: DualARConfig, length: int, offset):
-    cos, sin = precompute_freqs_cis(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
-    return (
-        jax.lax.dynamic_slice_in_dim(cos, offset, length, axis=0),
-        jax.lax.dynamic_slice_in_dim(sin, offset, length, axis=0),
-    )
+    """(cos, sin) rows [offset, offset+length). Static offsets use a plain
+    slice; traced offsets use a row gather (dynamic_slice at a traced start
+    is another TPU compile-time trap, see _layer_prefill)."""
+    cos, sin = rope_tables(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
+    if isinstance(offset, int):
+        return cos[offset : offset + length], sin[offset : offset + length]
+    idx = offset + jnp.arange(length)
+    return cos[idx], sin[idx]
 
 
 def _rope_gather(cfg: DualARConfig, pos: jnp.ndarray):
     """Per-row single-position tables -> (B, 1, 1, hd/2)."""
-    cos, sin = precompute_freqs_cis(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
+    cos, sin = rope_tables(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
     return cos[pos][:, None, None, :], sin[pos][:, None, None, :]
 
 
@@ -355,49 +385,66 @@ def slow_decode_step(
 # --------------------------------------------------------------------------
 
 
-def fast_decode_step(
+def fast_hist_init(
+    cfg: DualARConfig, batch: int, dtype=jnp.bfloat16
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Empty fast-transformer KV history: (L_fast, B, KV, 0, hd) pair."""
+    shape = (cfg.n_fast_layer, batch, cfg.n_local_heads, 0, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def fast_step(
     params: DualARParams,
     cfg: DualARConfig,
     x: jnp.ndarray,
-    cache: KVCache,
-    codebook_idx,
-) -> Tuple[jnp.ndarray, KVCache]:
-    """One fast-transformer step along the codebook axis.
+    hist: Tuple[jnp.ndarray, jnp.ndarray],
+    codebook_idx: int,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """One fast-transformer step at STATIC codebook position codebook_idx.
 
     x: (B, 1, D) — the slow hidden state (codebook 0) or the embedding of
-    the previously sampled codebook token. codebook_idx may be a Python
-    int or a traced scalar (the per-frame codebook loop runs under
-    lax.scan to keep compiled graphs small).
+    the previously sampled codebook token. hist: (k, v) histories shaped
+    (L_fast, B, KV, codebook_idx, hd) — the KV "cache" for the fast model
+    is just the concatenated history of this frame's steps. With at most
+    num_codebooks (<= 8) positions there is nothing to pre-allocate, every
+    shape is static (the per-frame codebook loop is unrolled in Python),
+    and no mask is needed: the single query attends to all history
+    (the reference's fast mask is all-zeros anyway, dual_ar.rs:640-647).
 
     The fast model's sequence axis is the codebook axis: RoPE is indexed
-    by codebook position and the cache holds at most num_codebooks
-    entries, reset every frame (reference: dual_ar.rs:638-673,
-    single_batch.rs:146-159).
-    Returns (logits (B, codebook_size) f32, updated cache).
+    by codebook position, history reset every frame
+    (reference: dual_ar.rs:638-673, single_batch.rs:146-159).
+    Returns (logits (B, codebook_size) f32, grown hist).
     """
     cos, sin = _rope_slice(cfg, 1, codebook_idx)
+    kh, vh = hist
+    scale = 1.0 / (cfg.head_dim**0.5)
 
-    c_max = cache.max_len
-    k_pos = jnp.arange(c_max)[None, None, None, :]
-    mask = jnp.where(k_pos <= codebook_idx, 0.0, NEG_INF).astype(jnp.float32)
-    mask = jnp.broadcast_to(mask, (x.shape[0], 1, 1, c_max))
+    def body(carry_x, per_layer):
+        lp, kh_l, vh_l = per_layer
+        b, _, d = carry_x.shape
+        h = rms_norm(carry_x, lp["attention_norm"], cfg.norm_eps)
+        q, k, v = _project_qkv(h, lp, cfg)  # (B, heads, 1, hd)
+        q = apply_rope_interleaved(q, cos, sin)
+        k = apply_rope_interleaved(k, cos, sin)
+        ks = jnp.concatenate([kh_l, k.astype(kh_l.dtype)], axis=2)
+        vs = jnp.concatenate([vh_l, v.astype(vh_l.dtype)], axis=2)
+        attn = gqa_attention(q, ks, vs, None, scale)
+        out = carry_x + attn.transpose(0, 2, 1, 3).reshape(b, 1, d) @ lp["wo"]
+        h2 = rms_norm(out, lp["ffn_norm"], cfg.norm_eps)
+        gate = jax.nn.silu((h2 @ lp["w1"]).astype(jnp.float32)).astype(out.dtype)
+        out = out + (gate * (h2 @ lp["w3"])) @ lp["w2"]
+        return out, (ks, vs)
 
-    def layer_fn(xc, lp, ck, cv):
-        return _layer_prefill(
-            xc, lp, ck, cv, cos, sin, mask, 0, codebook_idx, cfg
-        )
-
-    x, cache = _scan_stack(layer_fn, params["fast"], x, cache)
+    x, (ks, vs) = jax.lax.scan(body, x, (params["fast"], kh, vh))
     fast_out = rms_norm(x[:, 0, :], params["fast_norm"], cfg.norm_eps)  # (B, D)
 
     w = params["fast_output"]  # (D, fast_output_size)
     if cfg.depthwise_output:
         # per-codebook output head slice (reference: dual_ar.rs:661-671)
-        w = jax.lax.dynamic_slice_in_dim(
-            w, codebook_idx * cfg.codebook_size, cfg.codebook_size, axis=1
-        )
+        w = w[:, codebook_idx * cfg.codebook_size : (codebook_idx + 1) * cfg.codebook_size]
     logits = (fast_out @ w).astype(jnp.float32)
-    return logits, cache
+    return logits, (ks, vs)
 
 
 def fast_embed(

@@ -10,8 +10,9 @@ from fish_speech_tpu.config import DualARConfig, TokenConfig
 from fish_speech_tpu.models.dual_ar import (
     KVCache,
     embed_tokens,
-    fast_decode_step,
     fast_embed,
+    fast_hist_init,
+    fast_step,
     init_dual_ar_params,
     slow_decode_step,
     slow_prefill,
@@ -211,31 +212,26 @@ class TestFastPath:
     def test_fast_chain_shapes(self, params):
         b = 2
         hidden = jnp.ones((b, 1, CFG.dim), dtype=jnp.float32)
-        cache = KVCache.init(
-            CFG.n_fast_layer, b, CFG.n_local_heads, CFG.num_codebooks,
-            CFG.head_dim, jnp.float32,
-        )
+        hist = fast_hist_init(CFG, b, jnp.float32)
         x = hidden
         for cb in range(CFG.num_codebooks):
-            logits, cache = fast_decode_step(params, CFG, x, cache, cb)
+            logits, hist = fast_step(params, CFG, x, hist, cb)
             assert logits.shape == (b, CFG.codebook_size)
+            assert hist[0].shape[3] == cb + 1
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             x = fast_embed(params, CFG, tok, cb)
             assert x.shape == (b, 1, CFG.dim)
 
-    def test_fast_cache_accumulates(self, params):
+    def test_fast_history_accumulates(self, params):
         """Second fast step must see the first step's KV (different result
-        than running it against an empty cache)."""
+        than running it against an empty history)."""
         b = 1
         h = jax.random.normal(jax.random.PRNGKey(3), (b, 1, CFG.dim), jnp.float32)
-        cache = KVCache.init(
-            CFG.n_fast_layer, b, CFG.n_local_heads, CFG.num_codebooks,
-            CFG.head_dim, jnp.float32,
-        )
-        _, cache_after0 = fast_decode_step(params, CFG, h, cache, 0)
+        empty = fast_hist_init(CFG, b, jnp.float32)
+        _, hist_after0 = fast_step(params, CFG, h, empty, 0)
         x1 = fast_embed(params, CFG, jnp.asarray([3], jnp.int32), 0)
-        logits_with, _ = fast_decode_step(params, CFG, x1, cache_after0, 1)
-        logits_without, _ = fast_decode_step(params, CFG, x1, cache, 1)
+        logits_with, _ = fast_step(params, CFG, x1, hist_after0, 1)
+        logits_without, _ = fast_step(params, CFG, x1, empty, 0)
         assert not np.allclose(logits_with, logits_without)
 
     def test_depthwise_output_slices_head(self):
@@ -246,12 +242,9 @@ class TestFastPath:
         assert p["fast_output"].shape == (
             cfg.dim, cfg.codebook_size * cfg.num_codebooks
         )
-        cache = KVCache.init(
-            cfg.n_fast_layer, 1, cfg.n_local_heads, cfg.num_codebooks,
-            cfg.head_dim, jnp.float32,
-        )
+        hist = fast_hist_init(cfg, 1, jnp.float32)
         h = jnp.ones((1, 1, cfg.dim), jnp.float32)
-        l0, cache = fast_decode_step(p, cfg, h, cache, 0)
-        l1, _ = fast_decode_step(p, cfg, h, cache, 1)
+        l0, hist = fast_step(p, cfg, h, hist, 0)
+        l1, _ = fast_step(p, cfg, h, hist, 1)
         assert l0.shape == l1.shape == (1, cfg.codebook_size)
         assert not np.allclose(l0, l1)
