@@ -22,6 +22,17 @@ def log(*args):
 
 
 def main() -> None:
+    import os
+
+    # Make the CPU backend available alongside the accelerator: random
+    # param init runs there (compiling the init graph on the TPU toolchain
+    # costs minutes and serializes the remote compile pool, starving the
+    # engine compiles behind it; the real loading path is host->device
+    # anyway, see io/checkpoint.py).
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "cpu" not in plat.split(","):
+        os.environ["JAX_PLATFORMS"] = plat + ",cpu"
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_fishtpu")
@@ -53,14 +64,18 @@ def main() -> None:
     frame_rate = codec_cfg.frame_rate  # 21.533 Hz
 
     t0 = time.perf_counter()
-    # jit the whole init: one compile, params materialize on device
-    params = jax.jit(
-        lambda: init_dual_ar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    )()
-    codec_params = jax.jit(
-        lambda: init_firefly_params(jax.random.PRNGKey(1), codec_cfg, jnp.float32)
-    )()
-    jax.block_until_ready(params["embeddings"])
+    device = jax.devices()[0]
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = init_dual_ar_params(
+            jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16
+        )
+        codec_params = init_firefly_params(
+            jax.random.PRNGKey(1), codec_cfg, jnp.float32
+        )
+    params = jax.device_put(params, device)
+    codec_params = jax.device_put(codec_params, device)
+    jax.block_until_ready((params, codec_params))
     log(f"param init: {time.perf_counter() - t0:.1f}s")
 
     n_frames = 128  # ~5.9 s of audio at 21.5 Hz
@@ -86,11 +101,13 @@ def main() -> None:
     res, _ = engine.generate(
         prompt, max_new_tokens=n_frames, sampling=sampling, seed=0
     )
+    t1 = time.perf_counter()
+    log(f"warmup LM (compile): {t1 - t0:.1f}s")
     codes = res.tokens
     if codes.shape[1] < 4:  # random weights may hit EOS instantly; force codes
         codes = rng.integers(0, 1000, size=(cfg.num_codebooks, n_frames - 1))
     _ = codec.decode(np.ascontiguousarray(codes[:, : n_frames - 1]))
-    log(f"warmup (compile): {time.perf_counter() - t0:.1f}s")
+    log(f"warmup vocoder (compile): {time.perf_counter() - t1:.1f}s")
 
     # Timed run.
     best_rtf = None

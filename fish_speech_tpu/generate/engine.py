@@ -29,7 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from fish_speech_tpu.config import DualARConfig, TokenConfig, WhichLM
-from fish_speech_tpu.generate.frame import FrameResult, generate_frame
+from fish_speech_tpu.generate.frame import (
+    FrameResult,
+    generate_frame,
+    semantic_head_columns,
+)
 from fish_speech_tpu.models.dual_ar import (
     DualARParams,
     KVCache,
@@ -99,6 +103,17 @@ class LMEngine:
         prompt_buckets=DEFAULT_BUCKETS,
         dtype=jnp.bfloat16,
     ) -> None:
+        # Gather the LM head down to the audio-legal columns once: the
+        # per-frame head matmul then reads ~1 MB instead of ~200 MB
+        # (constrained sampling can never pick any other column; see
+        # frame.semantic_head_columns). The full params stay available for
+        # callers that need unconstrained logits (hidden-states debugging).
+        self.full_params = params
+        cols = semantic_head_columns(lm, token_cfg, cfg)
+        params = dict(params)
+        params["output"] = jnp.take(
+            params["output"], jnp.asarray(cols), axis=1
+        )
         self.params = params
         self.cfg = cfg
         self.token_cfg = token_cfg

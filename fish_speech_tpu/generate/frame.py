@@ -30,6 +30,32 @@ from fish_speech_tpu.ops.sampling import (
 )
 
 
+def semantic_head_columns(
+    lm: WhichLM, token_cfg: TokenConfig, cfg: DualARConfig
+) -> "np.ndarray":
+    """LM-head column indices that constrained semantic sampling can ever
+    read. The engine gathers the (dim, V) output weight down to these
+    columns ONCE, so the per-frame head matmul reads ~1 MB instead of the
+    full ~200 MB head (the reference computes full logits and slices after
+    the fact — generate/utils.rs:6-33; on TPU the slice moves into the
+    weight, which is free).
+
+    Layouts: Fish <=1.4 -> [pad, im_end] (2-way head,
+    single_batch.rs:103-124); 1.5 / DualAR -> [im_end] ++ semantic range
+    (single_batch.rs:126-140)."""
+    import numpy as np
+
+    if lm in (WhichLM.FISH_1_2, WhichLM.FISH_1_4):
+        return np.array([token_cfg.pad_id, token_cfg.im_end_id], np.int32)
+    return np.concatenate(
+        [
+            np.array([token_cfg.im_end_id], np.int32),
+            token_cfg.semantic_start_id
+            + np.arange(cfg.codebook_size, dtype=np.int32),
+        ]
+    )
+
+
 def sample_semantic(
     logits: jnp.ndarray,
     lm: WhichLM,
@@ -38,44 +64,24 @@ def sample_semantic(
     sampling: SamplingArgs,
     rng: jax.Array,
 ) -> jnp.ndarray:
-    """Constrained (audio-only) semantic-token draw. logits: (B, V) f32.
+    """Constrained (audio-only) semantic-token draw over WINDOWED logits.
 
-    * Fish 1.5 / DualAR: restrict to <|im_end|> + the semantic range and
+    logits: (B, W) f32 where W == len(semantic_head_columns(...)) — the
+    head is pre-gathered to the audio-legal columns. Returns vocab ids.
+
+    * Fish 1.5 / DualAR: top-k/top-p over [im_end] ++ semantic range and
       rescale the sampled index back to vocab space
       (reference: generate/utils.rs:6-56, single_batch.rs:126-140).
     * Fish 1.2 / 1.4: the slow head only ever chooses PAD vs <|im_end|>
       (reference: single_batch.rs:103-124).
     """
     if lm in (WhichLM.FISH_1_2, WhichLM.FISH_1_4):
-        pad_logit = logits[:, token_cfg.pad_id]
-        eos_logit = logits[:, token_cfg.im_end_id]
         return legacy_pad_eos_sample(
-            pad_logit, eos_logit, token_cfg.pad_id, token_cfg.im_end_id, rng
+            logits[:, 0], logits[:, 1], token_cfg.pad_id, token_cfg.im_end_id, rng
         )
 
-    if token_cfg.im_end_id == token_cfg.semantic_start_id - 1:
-        # contiguous window [im_end, im_end + 1 + codebook_size)
-        window = logits[
-            :, token_cfg.im_end_id : token_cfg.im_end_id + 1 + cfg.codebook_size
-        ]
-        tok = sample_top_k_top_p(
-            window, rng, temp=sampling.temp, top_p=sampling.top_p, top_k=sampling.top_k
-        )
-        return tok + token_cfg.im_end_id
-    # generic DualAR: [im_end] ++ semantic range
-    window = jnp.concatenate(
-        [
-            logits[:, token_cfg.im_end_id : token_cfg.im_end_id + 1],
-            logits[
-                :,
-                token_cfg.semantic_start_id : token_cfg.semantic_start_id
-                + cfg.codebook_size,
-            ],
-        ],
-        axis=-1,
-    )
     tok = sample_top_k_top_p(
-        window, rng, temp=sampling.temp, top_p=sampling.top_p, top_k=sampling.top_k
+        logits, rng, temp=sampling.temp, top_p=sampling.top_p, top_k=sampling.top_k
     )
     return jnp.where(
         tok == 0, token_cfg.im_end_id, token_cfg.semantic_start_id + tok - 1

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from fish_speech_tpu.config import DualARConfig, TokenConfig
 from fish_speech_tpu.ops.attention import NEG_INF, gqa_attention
 from fish_speech_tpu.ops.norms import rms_norm
-from fish_speech_tpu.ops.rope import apply_rope_interleaved, precompute_freqs_cis
+from fish_speech_tpu.ops.rope import apply_rope_interleaved
 
 # A DualARParams is a nested dict:
 # {
@@ -272,34 +272,46 @@ def _scan_stack(layer_fn, stack, x, cache: KVCache):
 
 @lru_cache(maxsize=None)
 def rope_tables(head_dim: int, max_seq_len: int, rope_base: float):
-    """Concrete (cos, sin) device arrays, computed once per config.
+    """Concrete HOST-side (cos, sin) tables, computed once per config.
 
-    Deliberately NOT computed inside traced functions: the table is tiny
-    (max_seq_len x head_dim/2) but re-deriving it per trace makes XLA
-    constant-fold a trig subgraph into every program, which measurably
-    bloats TPU compile times for the many small programs of the decode
-    path. As a cached concrete array it is captured by reference.
+    Two TPU-toolchain traps shape this function:
+    * Re-deriving the table inside every traced function makes XLA
+      constant-fold a trig subgraph into each program, bloating compile
+      times for the many small programs of the decode path.
+    * Caching it as a *device* array is worse: lowering a captured device
+      array embeds it as an MLIR constant via a device->host readback
+      (jax _array_mlir_constant_handler), which stalls for minutes through
+      the remote-device tunnel. Numpy arrays embed directly.
     """
-    with jax.ensure_compile_time_eval():
-        cos, sin = precompute_freqs_cis(head_dim, max_seq_len, rope_base)
-    return jax.block_until_ready(cos), jax.block_until_ready(sin)
+    import numpy as _np
+
+    exponents = _np.arange(0, head_dim, 2, dtype=_np.float32) / head_dim
+    theta = (1.0 / rope_base**exponents).astype(_np.float32)
+    angles = _np.arange(max_seq_len, dtype=_np.float32)[:, None] * theta[None, :]
+    return _np.cos(angles).astype(_np.float32), _np.sin(angles).astype(_np.float32)
 
 
 def _rope_slice(cfg: DualARConfig, length: int, offset):
-    """(cos, sin) rows [offset, offset+length). Static offsets use a plain
-    slice; traced offsets use a row gather (dynamic_slice at a traced start
-    is another TPU compile-time trap, see _layer_prefill)."""
+    """(cos, sin) rows [offset, offset+length). Static offsets embed only
+    the needed rows as constants; traced offsets embed the full table and
+    gather (dynamic_slice at a traced start is another TPU compile-time
+    trap, see _layer_prefill)."""
     cos, sin = rope_tables(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
     if isinstance(offset, int):
-        return cos[offset : offset + length], sin[offset : offset + length]
+        return (
+            jnp.asarray(cos[offset : offset + length]),
+            jnp.asarray(sin[offset : offset + length]),
+        )
     idx = offset + jnp.arange(length)
-    return cos[idx], sin[idx]
+    return jnp.asarray(cos)[idx], jnp.asarray(sin)[idx]
 
 
 def _rope_gather(cfg: DualARConfig, pos: jnp.ndarray):
     """Per-row single-position tables -> (B, 1, 1, hd/2)."""
     cos, sin = rope_tables(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
-    return cos[pos][:, None, None, :], sin[pos][:, None, None, :]
+    cos_rows = jnp.asarray(cos)[pos]
+    sin_rows = jnp.asarray(sin)[pos]
+    return cos_rows[:, None, None, :], sin_rows[:, None, None, :]
 
 
 def slow_prefill(

@@ -38,22 +38,24 @@ def test_sharded_decode_matches_unsharded():
         axis=1,
     )
 
-    def run(shard: bool):
-        p = params
-        engine = LMEngine(
+    def make_engine(p):
+        return LMEngine(
             p, CFG, TOK, WhichLM.FISH_1_5,
             batch_size=4, cache_len=32, max_frames=4,
             dtype=jnp.float32, prompt_buckets=(8,),
         )
-        state = engine.init_state(seed=7)
+
+    def run(shard: bool):
         if shard:
             mesh = make_mesh(8, tp=2)
             with mesh:
-                engine.params = shard_lm_params(p, mesh, CFG)
-                state = shard_gen_state(state, mesh, CFG)
+                engine = make_engine(shard_lm_params(params, mesh, CFG))
+                state = shard_gen_state(engine.init_state(seed=7), mesh, CFG)
                 state, frame, _ = engine.prefill(state, prompt, sampling)
                 state, frame2 = engine._get_step(sampling)(state)
                 return np.asarray(frame), np.asarray(frame2)
+        engine = make_engine(params)
+        state = engine.init_state(seed=7)
         state, frame, _ = engine.prefill(state, prompt, sampling)
         state, frame2 = engine._get_step(sampling)(state)
         return np.asarray(frame), np.asarray(frame2)
