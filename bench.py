@@ -36,7 +36,10 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_fishtpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # Only persist genuinely slow compiles: caching every tiny eager CPU op
+    # pollutes the cache with host-specific AOT artifacts (machine-feature
+    # mismatches on reload).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from fish_speech_tpu.config import (
@@ -63,19 +66,51 @@ def main() -> None:
     codec_cfg = FireflyConfig.for_version(FishVersion.V1_5)
     frame_rate = codec_cfg.frame_rate  # 21.533 Hz
 
+    def fast_device_init(init_fn, seed):
+        """Device-side random init shaped like init_fn's output, built from
+        ONE flat jax.random.normal + static slices.
+
+        Why not just jit init_fn: its ~100 independent threefry calls
+        compile for minutes on the TPU toolchain and serialize the remote
+        compile pool, starving the engine compiles queued behind them. Why
+        not init on CPU and device_put: host->device of ~1 GB through the
+        device tunnel takes minutes. One RNG op + reshapes compiles in
+        seconds and never leaves the device. Benchmark-only: real use
+        loads checkpoints (io/checkpoint.py).
+        """
+        shapes = jax.eval_shape(init_fn)
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+
+        def build(key):
+            total = sum(int(np.prod(l.shape)) for _, l in leaves)
+            flat = jax.random.normal(key, (total,), jnp.float32)
+            out, off = [], 0
+            for path, l in leaves:
+                n = int(np.prod(l.shape))
+                name = jax.tree_util.keystr(path)
+                if "norm" in name:
+                    x = jnp.ones(l.shape, jnp.float32)
+                else:
+                    x = flat[off : off + n].reshape(l.shape) * 0.02
+                off += n
+                out.append(x.astype(l.dtype))
+            return jax.tree_util.tree_unflatten(
+                treedef, [x for x in out]
+            )
+
+        return jax.jit(build)(jax.random.PRNGKey(seed))
+
     t0 = time.perf_counter()
-    device = jax.devices()[0]
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        params = init_dual_ar_params(
-            jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16
-        )
-        codec_params = init_firefly_params(
-            jax.random.PRNGKey(1), codec_cfg, jnp.float32
-        )
-    params = jax.device_put(params, device)
-    codec_params = jax.device_put(codec_params, device)
-    jax.block_until_ready((params, codec_params))
+    params = fast_device_init(
+        lambda: init_dual_ar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16),
+        seed=0,
+    )
+    jax.block_until_ready(params)
+    codec_params = fast_device_init(
+        lambda: init_firefly_params(jax.random.PRNGKey(1), codec_cfg, jnp.float32),
+        seed=1,
+    )
+    jax.block_until_ready(codec_params)
     log(f"param init: {time.perf_counter() - t0:.1f}s")
 
     n_frames = 128  # ~5.9 s of audio at 21.5 Hz

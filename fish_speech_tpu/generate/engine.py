@@ -297,9 +297,13 @@ class LMEngine:
         prompt: np.ndarray,
         sampling: SamplingArgs,
         offset: int = 0,
+        seq_lens=None,
     ) -> Tuple[GenState, jnp.ndarray, jnp.ndarray]:
         """Prefill a (C+1, S) prompt (batch=1 engines) or (B, C+1, S) batch
-        and sample the first frame. Returns (state, frame (B, C+1), is_eos)."""
+        and sample the first frame. Returns (state, frame (B, C+1), is_eos).
+
+        seq_lens: optional (B,) real row lengths for ragged batches whose
+        rows are right-padded to a common S."""
         prompt = np.asarray(prompt)
         if prompt.ndim == 2:
             prompt = prompt[None]
@@ -309,7 +313,10 @@ class LMEngine:
         bucket = _bucket_for(s, self.prompt_buckets)
         padded = np.zeros((b, rows, bucket), np.int32)
         padded[:, :, :s] = prompt
-        seq_lens = jnp.full((b,), s, jnp.int32)
+        if seq_lens is None:
+            seq_lens = jnp.full((b,), s, jnp.int32)
+        else:
+            seq_lens = jnp.asarray(np.asarray(seq_lens, np.int32))
         fn = self._get_prefill(sampling)
         return fn(
             self.params, jnp.asarray(padded), state, seq_lens, jnp.int32(offset)
@@ -379,6 +386,82 @@ class LMEngine:
             prompt_tokens=prompt_len,
         )
         return result, state
+
+    def generate_batch(
+        self,
+        prompts,
+        *,
+        max_new_tokens: int = 1024,
+        sampling: Optional[SamplingArgs] = None,
+        seed: Optional[int] = None,
+    ):
+        """Blocking generation for a fixed batch of ragged prompts.
+
+        Counterpart of the reference's static batch driver
+        (reference: lm/generate/static_batch.rs:282-390) with the padding
+        model inverted: rows are right-padded and tracked by per-row
+        length/position, so the combined causal+validity mask is correct by
+        construction (the reference left-pads and its pad mask is dead
+        code — SURVEY §2.5). Dead rows keep emitting EOS frames without
+        advancing, like the reference's `is_active` tracking
+        (static_batch.rs:160-173).
+
+        prompts: list of (C+1, S_i) int arrays, len == batch_size.
+        Returns a list of GenerationResult, one per row, in order.
+        """
+        b, c = self.batch_size, self.cfg.num_codebooks
+        assert len(prompts) == b, (len(prompts), b)
+        sampling = sampling or SamplingArgs()
+        state = self.init_state(seed)
+
+        prompts = [np.asarray(p) for p in prompts]
+        lens = [int(p.shape[-1]) for p in prompts]
+        s = max(lens)
+        stacked = np.zeros((b, c + 1, s), np.int32)
+        for r, p in enumerate(prompts):
+            stacked[r, :, : lens[r]] = p
+
+        t0 = time.perf_counter()
+        state, first_frame, first_eos = self.prefill(
+            state, stacked, sampling, seq_lens=lens
+        )
+        first_frame = np.asarray(first_frame)
+        prefill_s = time.perf_counter() - t0
+
+        budget = min(
+            max_new_tokens - 1,
+            self.max_frames,
+            self.cache_len - max(lens) - 1,
+        )
+        t1 = time.perf_counter()
+        state, out, valid, steps = self._get_decode_loop(sampling)(
+            state, jnp.int32(max(budget, 0))
+        )
+        out = np.asarray(out)
+        valid = np.asarray(valid)
+        done = np.asarray(state.done)
+        steps = int(steps)
+        decode_s = time.perf_counter() - t1
+
+        results = []
+        for r in range(b):
+            frames = [first_frame[r]]
+            for i in range(steps):
+                if valid[i, r]:
+                    frames.append(out[i, r])
+            row = np.stack(frames, axis=1)  # (C+1, T_r)
+            results.append(
+                GenerationResult(
+                    tokens=row[1:],
+                    semantic=row[0],
+                    frames=row.shape[1],
+                    hit_max=steps >= budget > 0 and not bool(done[r]),
+                    prefill_s=prefill_s,
+                    decode_s=decode_s,
+                    prompt_tokens=lens[r],
+                )
+            )
+        return results
 
     def rewind(self, state: GenState, length: int) -> GenState:
         """Logical equivalent of clear_slow_caches_until(length)

@@ -227,6 +227,88 @@ class TTSPipeline:
             return np.zeros((0,), np.float32)
         return np.concatenate(parts)
 
+    # -- static batching ---------------------------------------------------
+
+    def _get_batch_engine(self, batch_size: int) -> LMEngine:
+        """Lazily build one engine per batch size, sharing weights with the
+        main engine (separate jit cache + decode state shapes).
+        Batched runs use the reference's smaller rep-pen window
+        (static_batch.rs:47)."""
+        from fish_speech_tpu.ops.sampling import BATCHED_REP_PEN_WINDOW
+
+        if not hasattr(self, "_batch_engines"):
+            self._batch_engines = {}
+        if batch_size not in self._batch_engines:
+            e = self.engine
+            self._batch_engines[batch_size] = LMEngine(
+                e.full_params,
+                e.cfg,
+                e.token_cfg,
+                e.lm,
+                batch_size=batch_size,
+                cache_len=e.cache_len,
+                max_frames=e.max_frames,
+                rep_pen_window=BATCHED_REP_PEN_WINDOW,
+                prompt_buckets=e.prompt_buckets,
+                dtype=e.dtype,
+            )
+        return self._batch_engines[batch_size]
+
+    def synthesize_batched(
+        self,
+        text: str,
+        batch_size: int,
+        *,
+        voice_conditioning: Optional[np.ndarray] = None,
+        sampling: Optional[SamplingArgs] = None,
+        sysprompt: Optional[str] = None,
+        max_new_tokens: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> np.ndarray:
+        """Blocking batched synthesis: text chunks run `batch_size` at a
+        time through a static-batch engine (reference: handlers/
+        speech.rs:73-92,140-150). Each chunk prompt carries its full
+        conditioning (no KV-prefix reuse across batch rows). Chunk audio is
+        concatenated in input order. Short tail groups are padded with a
+        repeat row whose output is dropped.
+        """
+        if batch_size <= 1:
+            return self.synthesize(
+                text,
+                voice_conditioning=voice_conditioning,
+                sampling=sampling,
+                sysprompt=sysprompt,
+                max_new_tokens=max_new_tokens,
+                seed=seed,
+            )
+        sampling = sampling or self.default_sampling
+        chunks = preprocess_text(text)
+        if not chunks:
+            return np.zeros((0,), np.float32)
+        if sysprompt is None and self.lm == WhichLM.FISH_1_5:
+            sysprompt = FISH_1_5_SYSPROMPT
+
+        _, encoded = self.prompt_encoder.encode_sequence(
+            chunks,
+            sysprompt_text=sysprompt,
+            cached_speaker=voice_conditioning,
+            assume_kv_cache=False,
+        )
+        engine = self._get_batch_engine(batch_size)
+        max_new = max_new_tokens or self.max_new_tokens
+        pcm_parts: List[np.ndarray] = []
+        for g in range(0, len(encoded), batch_size):
+            group = encoded[g : g + batch_size]
+            real = len(group)
+            group = group + [group[-1]] * (batch_size - real)
+            results = engine.generate_batch(
+                group, max_new_tokens=max_new, sampling=sampling, seed=seed
+            )
+            for r in range(real):
+                codes = self._shift_output_tokens(results[r].tokens)
+                pcm_parts.append(self.codec.decode(codes)[0])
+        return np.concatenate(pcm_parts)
+
     def encode_reference_audio(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
         """wav -> codec tokens for voice cloning
         (reference: handlers/encode_speech.rs:36-94)."""

@@ -69,6 +69,7 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
     sysprompt = body.get("speaker_prompt")
     seed = body.get("seed")
     max_new = body.get("max_new_tokens")
+    batch_size = body.get("batch_size")
 
     conditioning = _resolve_voice(state, voice)
     pipeline = state.pipeline
@@ -117,9 +118,21 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
         await resp.write_eof()
         return resp
 
-    # blocking WAV path
+    # blocking WAV path; opt-in static batching over the request's text
+    # chunks (reference: handlers/speech.rs:73-92,140-150)
     async with state.lock:
-        pcm = await asyncio.to_thread(pipeline.synthesize, text, **kwargs)
+        if batch_size and int(batch_size) > 1:
+            pcm = await asyncio.to_thread(
+                pipeline.synthesize_batched,
+                text,
+                int(batch_size),
+                voice_conditioning=conditioning,
+                sysprompt=sysprompt,
+                seed=seed,
+                max_new_tokens=max_new,
+            )
+        else:
+            pcm = await asyncio.to_thread(pipeline.synthesize, text, **kwargs)
     wav = pcm_to_wav_bytes(pcm, pipeline.codec.sample_rate)
     return web.Response(body=wav, content_type="audio/wav")
 
