@@ -120,3 +120,49 @@ class TestGenerate:
             sampling=SamplingArgs(temp=0.7), seed=7,
         )
         assert np.all((res.semantic == 5) | (res.semantic == 9))
+
+
+class TestGenerateBatch:
+    def test_ragged_batch_rows_match_single(self):
+        """Batch rows with different prompt lengths must produce exactly
+        what a batch-1 run of each prompt produces (argmax): right-padded
+        rows + per-row positions make padding semantically invisible."""
+        params = init_dual_ar_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+        s = SamplingArgs(temp=0.0)
+        prompts = [make_prompt(7), make_prompt(4) + 1, make_prompt(9)]
+
+        beng = LMEngine(
+            params, CFG, TOK, WhichLM.FISH_1_5,
+            batch_size=3, cache_len=64, max_frames=6,
+            dtype=jnp.float32, prompt_buckets=(16,),
+        )
+        batch_results = beng.generate_batch(
+            prompts, max_new_tokens=5, sampling=s, seed=0
+        )
+
+        seng = LMEngine(
+            params, CFG, TOK, WhichLM.FISH_1_5,
+            cache_len=64, max_frames=6, dtype=jnp.float32, prompt_buckets=(16,),
+        )
+        for prompt, br in zip(prompts, batch_results):
+            sr, _ = seng.generate(prompt, max_new_tokens=5, sampling=s, seed=0)
+            np.testing.assert_array_equal(br.semantic, sr.semantic)
+            np.testing.assert_array_equal(br.tokens, sr.tokens)
+
+    def test_batch_results_have_row_shapes(self):
+        params = init_dual_ar_params(jax.random.PRNGKey(2), CFG, dtype=jnp.float32)
+        beng = LMEngine(
+            params, CFG, TOK, WhichLM.FISH_1_5,
+            batch_size=2, cache_len=64, max_frames=4,
+            dtype=jnp.float32, prompt_buckets=(16,),
+        )
+        results = beng.generate_batch(
+            [make_prompt(5), make_prompt(8)],
+            max_new_tokens=4,
+            sampling=SamplingArgs(temp=0.8, top_k=8),
+            seed=11,
+        )
+        assert len(results) == 2
+        for r in results:
+            assert r.tokens.shape[0] == CFG.num_codebooks
+            assert r.frames == r.tokens.shape[1] == r.semantic.shape[0]
