@@ -68,6 +68,7 @@ class GenerationResult(NamedTuple):
     prefill_s: float
     decode_s: float
     prompt_tokens: int
+    hidden: Optional[np.ndarray] = None  # (T, D) f32 slow hiddens if collected
 
     @property
     def codes(self) -> np.ndarray:
@@ -199,7 +200,7 @@ class LMEngine:
                     rng=rng,
                     done=res.is_eos,
                 )
-                return new_state, res.tokens, res.is_eos
+                return new_state, res.tokens, res.is_eos, hidden
 
             self._prefill_jit[key] = prefill_fn
         return self._prefill_jit[key]
@@ -235,10 +236,10 @@ class LMEngine:
             rng=rng,
             done=state.done | res.is_eos,
         )
-        return new_state, frame
+        return new_state, frame, hidden
 
-    def _get_decode_loop(self, sampling: SamplingArgs):
-        key = sampling
+    def _get_decode_loop(self, sampling: SamplingArgs, collect_hidden: bool = False):
+        key = (sampling, collect_hidden)
         if key not in self._decode_jit:
             cap = self.max_frames
 
@@ -247,15 +248,25 @@ class LMEngine:
                 b, c = self.batch_size, self.cfg.num_codebooks
                 out = jnp.zeros((cap, b, c + 1), jnp.int32)
                 valid = jnp.zeros((cap, b), bool)
+                # hidden-state trace (distillation/debug; reference:
+                # handlers/send_hidden_states.rs) — only materialized in
+                # the collect_hidden variant of the loop
+                hid = (
+                    jnp.zeros((cap, b, self.cfg.dim), jnp.float32)
+                    if collect_hidden
+                    else jnp.zeros((0,), jnp.float32)
+                )
 
                 def cond(carry):
-                    state, _, _, step = carry
+                    state, _, _, _, step = carry
                     return (step < max_steps) & ~jnp.all(state.done)
 
                 def body(carry):
-                    state, out, valid, step = carry
+                    state, out, valid, hid, step = carry
                     was_done = state.done
-                    state, frame = self._decode_body(params, sampling, state)
+                    state, frame, hidden = self._decode_body(
+                        params, sampling, state
+                    )
                     out = jax.lax.dynamic_update_slice(
                         out, frame[None], (step, 0, 0)
                     )
@@ -263,12 +274,18 @@ class LMEngine:
                     valid = jax.lax.dynamic_update_slice(
                         valid, ok[None], (step, 0)
                     )
-                    return state, out, valid, step + 1
+                    if collect_hidden:
+                        hid = jax.lax.dynamic_update_slice(
+                            hid,
+                            hidden.astype(jnp.float32)[None],
+                            (step, 0, 0),
+                        )
+                    return state, out, valid, hid, step + 1
 
-                state, out, valid, step = jax.lax.while_loop(
-                    cond, body, (state, out, valid, jnp.int32(0))
+                state, out, valid, hid, step = jax.lax.while_loop(
+                    cond, body, (state, out, valid, hid, jnp.int32(0))
                 )
-                return state, out, valid, step
+                return state, out, valid, hid, step
 
             self._decode_jit[key] = decode_loop
         params = self.params
@@ -282,7 +299,10 @@ class LMEngine:
 
             @partial(jax.jit, donate_argnums=(1,))
             def step_fn(params, state: GenState):
-                return self._decode_body(params, sampling, state)
+                new_state, frame, _hidden = self._decode_body(
+                    params, sampling, state
+                )
+                return new_state, frame
 
             self._decode_jit[key] = step_fn
         params = self.params
@@ -318,6 +338,33 @@ class LMEngine:
         else:
             seq_lens = jnp.asarray(np.asarray(seq_lens, np.int32))
         fn = self._get_prefill(sampling)
+        state, frame, is_eos, _hidden = fn(
+            self.params, jnp.asarray(padded), state, seq_lens, jnp.int32(offset)
+        )
+        return state, frame, is_eos
+
+    def _prefill_raw(
+        self,
+        state: GenState,
+        prompt: np.ndarray,
+        sampling: SamplingArgs,
+        offset: int = 0,
+        seq_lens=None,
+    ):
+        """Like prefill() but also returns the first frame's slow hidden
+        state (B, D)."""
+        prompt = np.asarray(prompt)
+        if prompt.ndim == 2:
+            prompt = prompt[None]
+        b, rows, s = prompt.shape
+        bucket = _bucket_for(s, self.prompt_buckets)
+        padded = np.zeros((b, rows, bucket), np.int32)
+        padded[:, :, :s] = prompt
+        if seq_lens is None:
+            seq_lens = jnp.full((b,), s, jnp.int32)
+        else:
+            seq_lens = jnp.asarray(np.asarray(seq_lens, np.int32))
+        fn = self._get_prefill(sampling)
         return fn(
             self.params, jnp.asarray(padded), state, seq_lens, jnp.int32(offset)
         )
@@ -331,6 +378,7 @@ class LMEngine:
         state: Optional[GenState] = None,
         conditioning_offset: int = 0,
         seed: Optional[int] = None,
+        collect_hidden: bool = False,
     ) -> Tuple[GenerationResult, GenState]:
         """Blocking generation for a single prompt (batch-1 engine).
 
@@ -347,7 +395,7 @@ class LMEngine:
         prompt = np.asarray(prompt)
         prompt_len = prompt.shape[-1]
         t0 = time.perf_counter()
-        state, first_frame, first_eos = self.prefill(
+        state, first_frame, first_eos, first_hidden = self._prefill_raw(
             state, prompt, sampling, offset=conditioning_offset
         )
         first_frame = np.asarray(first_frame)
@@ -359,9 +407,9 @@ class LMEngine:
             self.cache_len - (conditioning_offset + prompt_len) - 1,
         )
         t1 = time.perf_counter()
-        state, out, valid, steps = self._get_decode_loop(sampling)(
-            state, jnp.int32(max(budget, 0))
-        )
+        state, out, valid, hid, steps = self._get_decode_loop(
+            sampling, collect_hidden
+        )(state, jnp.int32(max(budget, 0)))
         out = np.asarray(out)
         valid = np.asarray(valid)
         steps = int(steps)
@@ -370,11 +418,21 @@ class LMEngine:
         # First frame is always included (even if EOS), matching the
         # reference driver (single_batch.rs:250-251,262-266).
         frames = [first_frame[0]]
+        kept = []
         for i in range(steps):
             if valid[i, 0]:
                 frames.append(out[i, 0])
+                kept.append(i)
         stacked = np.stack(frames, axis=1)  # (C+1, T)
         hit_max = steps >= budget > 0 and not bool(np.asarray(state.done)[0])
+
+        hidden = None
+        if collect_hidden:
+            hid = np.asarray(hid)
+            hidden = np.concatenate(
+                [np.asarray(first_hidden, np.float32)[0][None], hid[kept, 0]],
+                axis=0,
+            )
 
         result = GenerationResult(
             tokens=stacked[1:],
@@ -384,6 +442,7 @@ class LMEngine:
             prefill_s=prefill_s,
             decode_s=decode_s,
             prompt_tokens=prompt_len,
+            hidden=hidden,
         )
         return result, state
 
@@ -422,7 +481,7 @@ class LMEngine:
             stacked[r, :, : lens[r]] = p
 
         t0 = time.perf_counter()
-        state, first_frame, first_eos = self.prefill(
+        state, first_frame, first_eos, _hid = self._prefill_raw(
             state, stacked, sampling, seq_lens=lens
         )
         first_frame = np.asarray(first_frame)
@@ -434,7 +493,7 @@ class LMEngine:
             self.cache_len - max(lens) - 1,
         )
         t1 = time.perf_counter()
-        state, out, valid, steps = self._get_decode_loop(sampling)(
+        state, out, valid, _hidbuf, steps = self._get_decode_loop(sampling)(
             state, jnp.int32(max(budget, 0))
         )
         out = np.asarray(out)

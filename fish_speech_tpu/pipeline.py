@@ -309,6 +309,62 @@ class TTSPipeline:
                 pcm_parts.append(self.codec.decode(codes)[0])
         return np.concatenate(pcm_parts)
 
+    def synthesize_with_hidden(
+        self,
+        text: str,
+        *,
+        voice_conditioning: Optional[np.ndarray] = None,
+        sampling: Optional[SamplingArgs] = None,
+        sysprompt: Optional[str] = None,
+        max_new_tokens: Optional[int] = None,
+        seed: Optional[int] = None,
+        return_audio: bool = True,
+    ):
+        """Generate while collecting the slow transformer's per-frame
+        hidden states — the distillation/debug path (reference:
+        handlers/send_hidden_states.rs:22-126).
+
+        Returns (hidden (T, dim) f32, pcm or None).
+        """
+        sampling = sampling or self.default_sampling
+        chunks = preprocess_text(text)
+        if not chunks:
+            return np.zeros((0, self.engine.cfg.dim), np.float32), None
+        if sysprompt is None and self.lm == WhichLM.FISH_1_5:
+            sysprompt = FISH_1_5_SYSPROMPT
+
+        n_cond, encoded = self.prompt_encoder.encode_sequence(
+            chunks,
+            sysprompt_text=sysprompt,
+            cached_speaker=voice_conditioning,
+            assume_kv_cache=True,
+        )
+        max_new = max_new_tokens or self.max_new_tokens
+        state = self.engine.init_state(seed)
+        hiddens: List[np.ndarray] = []
+        pcm_parts: List[np.ndarray] = []
+        cond_len = 0
+        for i, chunk_tokens in enumerate(encoded):
+            offset = cond_len if i > 0 else 0
+            result, state = self.engine.generate(
+                chunk_tokens,
+                max_new_tokens=max_new,
+                sampling=sampling,
+                state=state,
+                conditioning_offset=offset,
+                collect_hidden=True,
+            )
+            if i == 0:
+                cond_len = n_cond
+            state = self.engine.rewind(state, cond_len)
+            hiddens.append(result.hidden)
+            if return_audio:
+                codes = self._shift_output_tokens(result.tokens)
+                pcm_parts.append(self.codec.decode(codes)[0])
+        hidden = np.concatenate(hiddens, axis=0)
+        pcm = np.concatenate(pcm_parts) if pcm_parts else None
+        return hidden, pcm
+
     def encode_reference_audio(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
         """wav -> codec tokens for voice cloning
         (reference: handlers/encode_speech.rs:36-94)."""

@@ -137,6 +137,57 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
     return web.Response(body=wav, content_type="audio/wav")
 
 
+async def handle_hidden_states(request: web.Request) -> web.Response:
+    """Distillation/debug route: generate with slow-transformer hidden-state
+    collection and return a ZIP of hidden_states.npy (+ audio.wav when
+    requested) + metadata.json (reference: handlers/send_hidden_states.rs
+    — exported there but unrouted; routed here as /v1/audio/hidden_states).
+    """
+    import zipfile
+
+    state: AppState = request.app["state"]
+    body = await request.json()
+    text = body.get("input", "")
+    voice = body.get("voice", "default")
+    return_audio = bool(body.get("return_audio", True))
+    conditioning = _resolve_voice(state, voice)
+    pipeline = state.pipeline
+
+    async with state.lock:
+        hidden, pcm = await asyncio.to_thread(
+            pipeline.synthesize_with_hidden,
+            text,
+            voice_conditioning=conditioning,
+            sysprompt=body.get("speaker_prompt"),
+            seed=body.get("seed"),
+            max_new_tokens=body.get("max_new_tokens"),
+            return_audio=return_audio,
+        )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        npy = io.BytesIO()
+        np.save(npy, hidden.astype(np.float32))
+        zf.writestr("hidden_states.npy", npy.getvalue())
+        if pcm is not None:
+            zf.writestr(
+                "audio.wav", pcm_to_wav_bytes(pcm, pipeline.codec.sample_rate)
+            )
+        zf.writestr(
+            "metadata.json",
+            json.dumps(
+                {
+                    "frame_rate": pipeline.codec.cfg.frame_rate,
+                    "num_frames": int(hidden.shape[0]),
+                    "dim": int(hidden.shape[1]),
+                }
+            ),
+        )
+    return web.Response(
+        body=buf.getvalue(), content_type="application/zip"
+    )
+
+
 async def handle_encoding(request: web.Request) -> web.Response:
     """(reference: handlers/encode_speech.rs:36-94)."""
     state: AppState = request.app["state"]
@@ -197,6 +248,7 @@ def create_app(state: AppState) -> web.Application:
     app["state"] = state
     app.router.add_post("/v1/audio/speech", handle_speech)
     app.router.add_post("/v1/audio/encoding", handle_encoding)
+    app.router.add_post("/v1/audio/hidden_states", handle_hidden_states)
     app.router.add_get("/v1/voices", handle_voices)
     return app
 

@@ -161,7 +161,7 @@ def test_speech_route_wav(state):
     async def fn(client):
         resp = await client.post(
             "/v1/audio/speech",
-            json={"model": "fish", "voice": "default", "input": "Hello world."},
+            json={"model": "fish", "voice": "default", "input": "Hello world.", "seed": 1},
         )
         assert resp.status == 200, await resp.text()
         assert resp.content_type == "audio/wav"
@@ -180,7 +180,7 @@ def test_speech_route_unconditioned(state):
     async def fn(client):
         resp = await client.post(
             "/v1/audio/speech",
-            json={"model": "fish", "voice": "unconditioned", "input": "Hi."},
+            json={"model": "fish", "voice": "unconditioned", "input": "Hi.", "seed": 1},
         )
         assert resp.status == 200, await resp.text()
         return await resp.read()
@@ -227,6 +227,7 @@ def test_opus_streaming_route(state):
                 "voice": "default",
                 "input": "Hello.",
                 "response_format": "opus",
+                "seed": 1,
             },
         )
         assert resp.status == 200
@@ -236,3 +237,44 @@ def test_opus_streaming_route(state):
     data = _sync(_run(state, fn))
     assert data[:4] == b"OggS"
     assert b"OpusHead" in data[:64]
+
+
+def test_hidden_states_route(state):
+    import zipfile
+
+    async def fn(client):
+        resp = await client.post(
+            "/v1/audio/hidden_states",
+            json={"voice": "default", "input": "Hello.", "return_audio": True, "seed": 1},
+        )
+        assert resp.status == 200, await resp.text()
+        assert resp.content_type == "application/zip"
+        return await resp.read()
+
+    body = _sync(_run(state, fn))
+    zf = zipfile.ZipFile(io.BytesIO(body))
+    names = set(zf.namelist())
+    assert {"hidden_states.npy", "metadata.json", "audio.wav"} <= names
+    hidden = np.load(io.BytesIO(zf.read("hidden_states.npy")))
+    assert hidden.ndim == 2 and hidden.shape[1] == LM_CFG.dim
+    meta = json.loads(zf.read("metadata.json"))
+    assert meta["num_frames"] == hidden.shape[0]
+    assert meta["frame_rate"] > 0
+
+
+def test_speech_route_batched(state):
+    async def fn(client):
+        resp = await client.post(
+            "/v1/audio/speech",
+            json={
+                "voice": "default",
+                "input": "Hello world. Another sentence here.",
+                "batch_size": 2,
+            },
+        )
+        assert resp.status == 200, await resp.text()
+        assert resp.content_type == "audio/wav"
+        return await resp.read()
+
+    wav = _sync(_run(state, fn))
+    assert wav[:4] == b"RIFF"
