@@ -410,8 +410,12 @@ class LMEngine:
         state, out, valid, hid, steps = self._get_decode_loop(
             sampling, collect_hidden
         )(state, jnp.int32(max(budget, 0)))
-        out = np.asarray(out)
-        valid = np.asarray(valid)
+        # ONE batched device->host fetch: per-array np.asarray costs a
+        # full round trip each, which at remote-device latencies dominates
+        # short generations.
+        out, valid, steps, done_host = jax.device_get(
+            (out, valid, steps, state.done)
+        )
         steps = int(steps)
         decode_s = time.perf_counter() - t1
 
@@ -424,7 +428,7 @@ class LMEngine:
                 frames.append(out[i, 0])
                 kept.append(i)
         stacked = np.stack(frames, axis=1)  # (C+1, T)
-        hit_max = steps >= budget > 0 and not bool(np.asarray(state.done)[0])
+        hit_max = steps >= budget > 0 and not bool(done_host[0])
 
         hidden = None
         if collect_hidden:
@@ -496,9 +500,9 @@ class LMEngine:
         state, out, valid, _hidbuf, steps = self._get_decode_loop(sampling)(
             state, jnp.int32(max(budget, 0))
         )
-        out = np.asarray(out)
-        valid = np.asarray(valid)
-        done = np.asarray(state.done)
+        out, valid, steps, done = jax.device_get(
+            (out, valid, steps, state.done)
+        )
         steps = int(steps)
         decode_s = time.perf_counter() - t1
 

@@ -229,32 +229,6 @@ def _layer_prefill(x, lp, ck, cv, cos, sin, mask, slot, offset, cfg: DualARConfi
     return x, ck, cv
 
 
-def _layer_decode(x, lp, ck, cv, cos, sin, mask, pos, cfg: DualARConfig):
-    """One block for single-token decode with PER-ROW positions.
-
-    x: (B, 1, D); pos: (B,) int32 — each row's write position.
-    cos/sin: (B, 1, 1, hd/2) per-row RoPE tables.
-    """
-    b, _, d = x.shape
-    h = rms_norm(x, lp["attention_norm"], cfg.norm_eps)
-    q, k, v = _project_qkv(h, lp, cfg)  # (B, heads, 1, hd)
-    q = apply_rope_interleaved(q, cos, sin)
-    k = apply_rope_interleaved(k, cos, sin)
-
-    rows = jnp.arange(b)
-    ck = ck.at[rows, :, pos, :].set(k.squeeze(2).astype(ck.dtype))
-    cv = cv.at[rows, :, pos, :].set(v.squeeze(2).astype(cv.dtype))
-
-    scale = 1.0 / (cfg.head_dim**0.5)
-    attn = gqa_attention(q, ck, cv, mask, scale)
-    x = x + attn.transpose(0, 2, 1, 3).reshape(b, 1, d) @ lp["wo"]
-
-    h2 = rms_norm(x, lp["ffn_norm"], cfg.norm_eps)
-    gate = jax.nn.silu((h2 @ lp["w1"]).astype(jnp.float32)).astype(x.dtype)
-    x = x + (gate * (h2 @ lp["w3"])) @ lp["w2"]
-    return x, ck, cv
-
-
 def _scan_stack(layer_fn, stack, x, cache: KVCache):
     def body(carry_x, per_layer):
         lp, ck, cv = per_layer
@@ -371,7 +345,14 @@ def slow_decode_step(
     tokens: (B, C+1) — the previous frame per row.
     pos: (B,) int32 — each row's write position (== its current length).
     Returns (logits (B, V) f32, hidden (B, D) pre-norm, updated cache).
+
+    The layer loop is UNROLLED (not lax.scan): scanning restacks the
+    per-layer KV as fresh (L, ...) outputs every step, which defeats XLA's
+    while-loop carry aliasing and shows up as two full-cache device copies
+    per frame in profiles (~15% of the decode step). Scatter-updating one
+    carried (L, B, KV, S, hd) buffer in place keeps the carry aliased.
     """
+    b = tokens.shape[0]
     x = embed_tokens(params, cfg, token_cfg, tokens[:, :, None])  # (B, 1, D)
     cos, sin = _rope_gather(cfg, pos)
 
@@ -381,10 +362,24 @@ def slow_decode_step(
         k_pos <= pos[:, None, None, None], 0.0, NEG_INF
     ).astype(jnp.float32)  # (B, 1, 1, S_max)
 
-    def layer_fn(xc, lp, ck, cv):
-        return _layer_decode(xc, lp, ck, cv, cos, sin, mask, pos, cfg)
-
-    x, cache = _scan_stack(layer_fn, params["slow"], x, cache)
+    ck, cv = cache.k, cache.v
+    rows = jnp.arange(b)
+    scale = 1.0 / (cfg.head_dim**0.5)
+    d = cfg.dim
+    for l in range(cfg.n_layer):
+        lp = {k: v[l] for k, v in params["slow"].items()}
+        h = rms_norm(x, lp["attention_norm"], cfg.norm_eps)
+        q, k, v = _project_qkv(h, lp, cfg)  # (B, heads, 1, hd)
+        q = apply_rope_interleaved(q, cos, sin)
+        k = apply_rope_interleaved(k, cos, sin)
+        ck = ck.at[l, rows, :, pos, :].set(k.squeeze(2).astype(ck.dtype))
+        cv = cv.at[l, rows, :, pos, :].set(v.squeeze(2).astype(cv.dtype))
+        attn = gqa_attention(q, ck[l], cv[l], mask, scale)
+        x = x + attn.transpose(0, 2, 1, 3).reshape(b, 1, d) @ lp["wo"]
+        h2 = rms_norm(x, lp["ffn_norm"], cfg.norm_eps)
+        gate = jax.nn.silu((h2 @ lp["w1"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + (gate * (h2 @ lp["w3"])) @ lp["w2"]
+    cache = KVCache(k=ck, v=cv)
 
     hidden = x[:, 0, :]
     slow_out = rms_norm(hidden, params["norm"], cfg.norm_eps)
