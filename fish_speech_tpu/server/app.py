@@ -25,8 +25,9 @@ from typing import Dict, Optional
 import numpy as np
 from aiohttp import web
 
+from fish_speech_tpu.audio.decode import decode_audio_bytes
 from fish_speech_tpu.audio.resample import resample
-from fish_speech_tpu.audio.wav import pcm_to_wav_bytes, read_wav
+from fish_speech_tpu.audio.wav import pcm_to_wav_bytes
 from fish_speech_tpu.pipeline import TTSPipeline
 
 logger = logging.getLogger(__name__)
@@ -199,7 +200,9 @@ async def handle_encoding(request: web.Request) -> web.Response:
         raise web.HTTPBadRequest(text="No file provided")
     data = await field.read(decode=False)
 
-    audio, sr = read_wav(data)
+    # any container the native decoder knows: WAV/MP3/Ogg-Vorbis/Ogg-Opus
+    # (reference decodes via symphonia, audio/pcm_decode.rs:26-89)
+    audio, sr = decode_audio_bytes(data)
     async with state.lock:
         codes = await asyncio.to_thread(
             pipeline.encode_reference_audio, audio, sr

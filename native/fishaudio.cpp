@@ -239,5 +239,299 @@ void fa_ogg_opus_destroy(void *handle) {
   delete h;
 }
 
-const char *fa_version() { return "fishaudio-0.1"; }
+const char *fa_version() { return "fishaudio-0.2"; }
+}
+
+// ---------------------------------------------------------------------------
+// Any-container audio decode (counterpart of the reference's symphonia
+// decode, fish_speech_core/lib/audio/pcm_decode.rs:26-89): MP3 via
+// libmpg123, Ogg/Vorbis via libvorbisfile, Ogg/Opus via libopus + the
+// local Ogg page parser. Output is channel-averaged mono f32 + sample
+// rate, like the reference's mean_keepdim path. Linked by exact soname —
+// no dev headers ship in this image; only stable public ABIs are
+// declared (opaque handles; the one struct we peek into, vorbis_info,
+// has had a frozen layout since libvorbis 1.0).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+// libmpg123 (opaque-handle API)
+typedef struct mpg123_handle_struct mpg123_handle;
+int mpg123_init(void);
+mpg123_handle *mpg123_new(const char *decoder, int *error);
+void mpg123_delete(mpg123_handle *mh);
+int mpg123_open_feed(mpg123_handle *mh);
+int mpg123_feed(mpg123_handle *mh, const unsigned char *in, size_t size);
+int mpg123_read(mpg123_handle *mh, void *outmemory, size_t outmemsize,
+                size_t *done);
+int mpg123_getformat(mpg123_handle *mh, long *rate, int *channels,
+                     int *encoding);
+int mpg123_format_none(mpg123_handle *mh);
+int mpg123_format(mpg123_handle *mh, long rate, int channels, int encodings);
+
+// libvorbisfile (OggVorbis_File is caller-allocated: we over-allocate)
+typedef struct {
+  size_t (*read_func)(void *ptr, size_t size, size_t nmemb, void *datasource);
+  int (*seek_func)(void *datasource, int64_t offset, int whence);
+  int (*close_func)(void *datasource);
+  long (*tell_func)(void *datasource);
+} ov_callbacks;
+int ov_open_callbacks(void *datasource, void *vf, const char *initial,
+                      long ibytes, ov_callbacks callbacks);
+void *ov_info(void *vf, int link);
+long ov_read_float(void *vf, float ***pcm_channels, int samples,
+                   int *bitstream);
+int ov_clear(void *vf);
+
+// libopus decoder side
+typedef struct OpusDecoder OpusDecoder;
+OpusDecoder *opus_decoder_create(int32_t Fs, int channels, int *error);
+int opus_decode_float(OpusDecoder *st, const unsigned char *data, int32_t len,
+                      float *pcm, int frame_size, int decode_fec);
+void opus_decoder_destroy(OpusDecoder *st);
+}
+
+namespace {
+
+const int MPG123_OK = 0;
+const int MPG123_DONE = -12;
+const int MPG123_NEW_FORMAT = -11;
+const int MPG123_NEED_MORE = -10;
+const int MPG123_ENC_FLOAT_32 = 0x200;
+
+// first-two-int-then-long prefix of vorbis_info (frozen since 1.0)
+struct vorbis_info_prefix {
+  int version;
+  int channels;
+  long rate;
+};
+
+struct MemSource {
+  const uint8_t *data;
+  size_t len;
+  size_t pos;
+};
+
+size_t mem_read(void *ptr, size_t size, size_t nmemb, void *src_) {
+  auto *src = (MemSource *)src_;
+  size_t want = size * nmemb;
+  size_t have = src->len - src->pos;
+  if (want > have) want = have;
+  memcpy(ptr, src->data + src->pos, want);
+  src->pos += want;
+  return size ? want / size : 0;
+}
+
+int mem_seek(void *src_, int64_t offset, int whence) {
+  auto *src = (MemSource *)src_;
+  int64_t base = whence == 1 ? (int64_t)src->pos
+               : whence == 2 ? (int64_t)src->len
+                             : 0;
+  int64_t target = base + offset;
+  if (target < 0 || target > (int64_t)src->len) return -1;
+  src->pos = (size_t)target;
+  return 0;
+}
+
+long mem_tell(void *src_) { return (long)((MemSource *)src_)->pos; }
+
+float *to_mono(const float *interleaved, size_t frames, int channels) {
+  float *mono = (float *)malloc(frames * sizeof(float));
+  if (!mono) return nullptr;
+  for (size_t i = 0; i < frames; i++) {
+    float acc = 0.0f;
+    for (int c = 0; c < channels; c++) acc += interleaved[i * channels + c];
+    mono[i] = acc / channels;
+  }
+  return mono;
+}
+
+}  // namespace
+
+extern "C" {
+
+void fa_free(void *p) { free(p); }
+
+// MP3 -> mono f32. Returns 0 on success.
+int fa_decode_mp3(const unsigned char *data, size_t len, float **out,
+                  long long *out_frames, int *out_rate) {
+  *out = nullptr;
+  *out_frames = 0;
+  *out_rate = 0;
+  mpg123_init();
+  int err = 0;
+  mpg123_handle *mh = mpg123_new(nullptr, &err);
+  if (!mh) return -1;
+  if (mpg123_open_feed(mh) != MPG123_OK) {
+    mpg123_delete(mh);
+    return -2;
+  }
+  // Accept ONLY float32 output (any rate/channels) before feeding any
+  // data, so no frame ever decodes in the default s16 format.
+  static const long kRates[] = {8000,  11025, 12000, 16000, 22050,
+                                24000, 32000, 44100, 48000};
+  mpg123_format_none(mh);
+  for (long r : kRates)
+    mpg123_format(mh, r, 3 /* MPG123_MONO|MPG123_STEREO */,
+                  MPG123_ENC_FLOAT_32);
+  if (mpg123_feed(mh, data, len) != MPG123_OK) {
+    mpg123_delete(mh);
+    return -3;
+  }
+  std::vector<float> pcm;
+  long rate = 0;
+  int channels = 0, enc = 0;
+  std::vector<unsigned char> buf(65536);
+  for (;;) {
+    size_t done = 0;
+    int r = mpg123_read(mh, buf.data(), buf.size(), &done);
+    if (r == MPG123_NEW_FORMAT) {
+      mpg123_getformat(mh, &rate, &channels, &enc);
+      continue;
+    }
+    if (done > 0) {
+      const float *f = (const float *)buf.data();
+      pcm.insert(pcm.end(), f, f + done / sizeof(float));
+    }
+    if (r == MPG123_DONE || r == MPG123_NEED_MORE) break;
+    if (r != MPG123_OK && done == 0) break;
+  }
+  mpg123_delete(mh);
+  if (pcm.empty() || channels <= 0 || rate <= 0) return -4;
+  size_t frames = pcm.size() / channels;
+  *out = to_mono(pcm.data(), frames, channels);
+  if (!*out) return -5;
+  *out_frames = (long long)frames;
+  *out_rate = (int)rate;
+  return 0;
+}
+
+// Ogg/Vorbis -> mono f32. Returns 0 on success.
+int fa_decode_ogg_vorbis(const unsigned char *data, size_t len, float **out,
+                         long long *out_frames, int *out_rate) {
+  *out = nullptr;
+  *out_frames = 0;
+  *out_rate = 0;
+  MemSource src{data, len, 0};
+  ov_callbacks cb{mem_read, mem_seek, nullptr, mem_tell};
+  // OggVorbis_File is ~1 KB; over-allocate generously since we build
+  // without vorbisfile headers.
+  void *vf = calloc(1, 8192);
+  if (!vf) return -1;
+  if (ov_open_callbacks(&src, vf, nullptr, 0, cb) != 0) {
+    free(vf);
+    return -2;
+  }
+  auto *vi = (vorbis_info_prefix *)ov_info(vf, -1);
+  if (!vi || vi->channels <= 0) {
+    ov_clear(vf);
+    free(vf);
+    return -3;
+  }
+  int channels = vi->channels;
+  long rate = vi->rate;
+  std::vector<float> mono;
+  int bitstream = 0;
+  for (;;) {
+    float **ch = nullptr;
+    long n = ov_read_float(vf, &ch, 4096, &bitstream);
+    if (n <= 0) break;  // 0 = EOF, <0 = hole/backtrack (stop)
+    size_t base = mono.size();
+    mono.resize(base + n);
+    for (long i = 0; i < n; i++) {
+      float acc = 0.0f;
+      for (int c = 0; c < channels; c++) acc += ch[c][i];
+      mono[base + i] = acc / channels;
+    }
+  }
+  ov_clear(vf);
+  free(vf);
+  if (mono.empty()) return -4;
+  *out = (float *)malloc(mono.size() * sizeof(float));
+  if (!*out) return -5;
+  memcpy(*out, mono.data(), mono.size() * sizeof(float));
+  *out_frames = (long long)mono.size();
+  *out_rate = (int)rate;
+  return 0;
+}
+
+// Ogg/Opus -> mono f32 at 48 kHz. Parses Ogg pages with the same framing
+// logic the encoder above writes. Returns 0 on success.
+int fa_decode_ogg_opus(const unsigned char *data, size_t len, float **out,
+                       long long *out_frames, int *out_rate) {
+  *out = nullptr;
+  *out_frames = 0;
+  *out_rate = 48000;
+  int err = 0;
+  OpusDecoder *dec = opus_decoder_create(48000, 1, &err);
+  if (!dec || err != 0) return -1;
+
+  std::vector<float> mono;
+  std::vector<uint8_t> packet;  // continued-packet assembly
+  int preskip = 312;
+  size_t pos = 0;
+  int packets_seen = 0;
+  std::vector<float> frame(5760);  // 120 ms at 48 kHz, max opus frame
+  while (pos + 27 <= len) {
+    if (memcmp(data + pos, "OggS", 4) != 0) {
+      pos++;
+      continue;
+    }
+    uint8_t nsegs = data[pos + 26];
+    if (pos + 27 + nsegs > len) break;
+    const uint8_t *lacing = data + pos + 27;
+    size_t body = pos + 27 + nsegs;
+    for (uint8_t s = 0; s < nsegs; s++) {
+      uint8_t seg = lacing[s];
+      if (body + seg > len) {
+        opus_decoder_destroy(dec);
+        if (mono.empty()) return -2;
+        seg = 0;
+      }
+      packet.insert(packet.end(), data + body, data + body + seg);
+      body += seg;
+      if (seg < 255 && !packet.empty()) {
+        if (packets_seen == 0 && packet.size() >= 8 &&
+            memcmp(packet.data(), "OpusHead", 8) == 0) {
+          if (packet.size() >= 12)
+            preskip = packet[10] | (packet[11] << 8);
+        } else if (!(packet.size() >= 8 &&
+                     memcmp(packet.data(), "OpusTags", 8) == 0)) {
+          int n = opus_decode_float(dec, packet.data(), (int32_t)packet.size(),
+                                    frame.data(), (int)frame.size(), 0);
+          if (n > 0) mono.insert(mono.end(), frame.data(), frame.data() + n);
+        }
+        packets_seen++;
+        packet.clear();
+      }
+    }
+    pos = body;
+  }
+  opus_decoder_destroy(dec);
+  if (mono.empty()) return -3;
+  size_t skip = (size_t)preskip < mono.size() ? (size_t)preskip : mono.size();
+  size_t frames = mono.size() - skip;
+  *out = (float *)malloc(frames * sizeof(float));
+  if (!*out) return -4;
+  memcpy(*out, mono.data() + skip, frames * sizeof(float));
+  *out_frames = (long long)frames;
+  return 0;
+}
+
+// Sniff + decode: MP3 (ID3 tag or MPEG sync), Ogg (OpusHead vs Vorbis).
+// WAV is handled by the Python layer. Returns 0 on success.
+int fa_decode_auto(const unsigned char *data, size_t len, float **out,
+                   long long *out_frames, int *out_rate) {
+  if (len >= 4 && memcmp(data, "OggS", 4) == 0) {
+    // first packet starts at offset 28 (BOS page, single lacing value)
+    if (len > 36 && memcmp(data + 28, "OpusHead", 8) == 0)
+      return fa_decode_ogg_opus(data, len, out, out_frames, out_rate);
+    return fa_decode_ogg_vorbis(data, len, out, out_frames, out_rate);
+  }
+  if (len >= 3 && (memcmp(data, "ID3", 3) == 0 ||
+                   (data[0] == 0xff && (data[1] & 0xe0) == 0xe0)))
+    return fa_decode_mp3(data, len, out, out_frames, out_rate);
+  // fall back in order
+  if (fa_decode_ogg_vorbis(data, len, out, out_frames, out_rate) == 0) return 0;
+  return fa_decode_mp3(data, len, out, out_frames, out_rate);
+}
 }

@@ -2,6 +2,7 @@
 reference's streaming algorithm, resample, WAV IO."""
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -121,3 +122,69 @@ class TestWav:
     def test_rejects_non_wav(self):
         with pytest.raises(ValueError):
             read_wav(b"OggS" + b"\x00" * 100)
+
+
+class TestAnyContainerDecode:
+    """Native decode paths (reference: audio/pcm_decode.rs via symphonia)."""
+
+    MP3 = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.mp3"
+    OGG = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.ogg"
+
+    def _decode(self, path):
+        from fish_speech_tpu.audio.decode import decode_audio_bytes, native_available
+
+        if not native_available():
+            pytest.skip("native decoder not built")
+        if not os.path.exists(path):
+            pytest.skip("fixture missing")
+        return decode_audio_bytes(open(path, "rb").read())
+
+    def test_mp3_decode(self):
+        pcm, sr = self._decode(self.MP3)
+        assert sr > 0 and pcm.dtype == np.float32
+        assert pcm.shape[0] > sr  # clip is several seconds long
+        rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+        assert 0.05 < rms < 1.0
+
+    def test_ogg_vorbis_decode(self):
+        pcm, sr = self._decode(self.OGG)
+        assert sr > 0 and pcm.shape[0] > sr
+        rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+        assert 0.05 < rms < 1.0
+
+    def test_mp3_and_ogg_agree(self):
+        """Same source material: decoded energy should roughly match."""
+        a, sra = self._decode(self.MP3)
+        b, srb = self._decode(self.OGG)
+        assert sra == srb
+        ra = float(np.sqrt(np.mean(a.astype(np.float64) ** 2)))
+        rb = float(np.sqrt(np.mean(b.astype(np.float64) ** 2)))
+        assert abs(ra - rb) / rb < 0.15
+
+    def test_ogg_opus_roundtrip(self):
+        from fish_speech_tpu.audio.decode import decode_audio_bytes, native_available
+        from fish_speech_tpu.audio.opus import OggOpusEncoder
+
+        if not native_available() or not OggOpusEncoder.available():
+            pytest.skip("native codec not built")
+        t = np.arange(24000 * 2) / 24000
+        sig = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        enc = OggOpusEncoder(24000)
+        data = enc.header() + enc.encode(sig)
+        data += enc.encode(np.zeros(0, np.float32), final=True)
+        enc.close()
+        pcm, sr = decode_audio_bytes(data)
+        assert sr == 48000
+        # duration preserved within one frame
+        assert abs(pcm.shape[0] / sr - 2.0) < 0.05
+        rms = float(np.sqrt(np.mean(pcm**2)))
+        assert abs(rms - 0.3 / np.sqrt(2)) < 0.02
+
+    def test_wav_passthrough(self):
+        from fish_speech_tpu.audio.decode import decode_audio_bytes
+        from fish_speech_tpu.audio.wav import pcm_to_wav_bytes
+
+        sig = (0.25 * np.sin(np.arange(4410) / 5.0)).astype(np.float32)
+        pcm, sr = decode_audio_bytes(pcm_to_wav_bytes(sig, 44100))
+        assert sr == 44100
+        np.testing.assert_allclose(pcm, sig, atol=2 / 32768)
