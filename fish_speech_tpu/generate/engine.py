@@ -238,10 +238,18 @@ class LMEngine:
         )
         return new_state, frame, hidden
 
-    def _get_decode_loop(self, sampling: SamplingArgs, collect_hidden: bool = False):
-        key = (sampling, collect_hidden)
+    def _get_decode_loop(
+        self,
+        sampling: SamplingArgs,
+        collect_hidden: bool = False,
+        horizon: Optional[int] = None,
+    ):
+        """Jitted multi-frame decode. `horizon` caps the output buffer
+        (defaults to max_frames); the continuous batcher uses short
+        horizons so it can admit new requests between chunks."""
+        key = (sampling, collect_hidden, horizon)
         if key not in self._decode_jit:
-            cap = self.max_frames
+            cap = horizon or self.max_frames
 
             @partial(jax.jit, donate_argnums=(1,))
             def decode_loop(params, state: GenState, max_steps):
@@ -308,6 +316,102 @@ class LMEngine:
         params = self.params
         fn = self._decode_jit[key]
         return lambda state: fn(params, state)
+
+    def _get_prefill_row(self, sampling: SamplingArgs):
+        """Jitted single-row admission prefill for the continuous batcher:
+        prefill ONE request's prompt into row `row` of a shared B-row
+        cache and splice its first frame / position / rep-pen state into
+        the shared GenState without touching other rows."""
+        key = ("row", sampling)
+        if key not in self._prefill_jit:
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def prefill_row_fn(params, tokens, state: GenState, seq_len, offset, row):
+                rng, frame_rng = jax.random.split(state.rng)
+                logits, hidden, cache = slow_prefill(
+                    params,
+                    self.cfg,
+                    self.token_cfg,
+                    tokens,
+                    seq_len,
+                    state.cache,
+                    row,
+                    offset,
+                )
+                res: FrameResult = generate_frame(
+                    params,
+                    self.cfg,
+                    self.token_cfg,
+                    self.lm,
+                    sampling,
+                    logits,
+                    hidden,
+                    RepPenWindow.init((1, self.cfg.num_codebooks), self.rep_pen_window),
+                    None,
+                    frame_rng,
+                )
+                new_state = GenState(
+                    cache=cache,
+                    pos=state.pos.at[row].set(offset + seq_len[0]),
+                    prev=state.prev.at[row].set(res.tokens[0]),
+                    rep_pen=RepPenWindow(
+                        tokens=state.rep_pen.tokens.at[row].set(
+                            jnp.full(
+                                (self.cfg.num_codebooks, self.rep_pen_window),
+                                -1,
+                                jnp.int32,
+                            )
+                        ),
+                        ptr=state.rep_pen.ptr,
+                    ),
+                    rng=rng,
+                    done=state.done.at[row].set(res.is_eos[0]),
+                )
+                return new_state, res.tokens[0], res.is_eos[0]
+
+            self._prefill_jit[key] = prefill_row_fn
+        return self._prefill_jit[key]
+
+    def prefill_row(
+        self,
+        state: GenState,
+        prompt: np.ndarray,
+        sampling: SamplingArgs,
+        row: int,
+        offset: int = 0,
+    ) -> Tuple[GenState, np.ndarray, bool]:
+        """Admit one prompt into row `row` of a shared decode batch.
+        Returns (state, first frame (C+1,), is_eos)."""
+        prompt = np.asarray(prompt)
+        if prompt.ndim == 3:
+            prompt = prompt[0]
+        rows_, sl = prompt.shape
+        bucket = _bucket_for(sl, self.prompt_buckets)
+        padded = np.zeros((1, rows_, bucket), np.int32)
+        padded[0, :, :sl] = prompt
+        fn = self._get_prefill_row(sampling)
+        state, frame, is_eos = fn(
+            self.params,
+            jnp.asarray(padded),
+            state,
+            jnp.asarray([sl], jnp.int32),
+            jnp.int32(offset),
+            jnp.int32(row),
+        )
+        return state, frame, is_eos
+
+    def decode_chunk(
+        self,
+        state: GenState,
+        sampling: SamplingArgs,
+        horizon: int,
+    ):
+        """Run up to `horizon` decode frames for the whole batch.
+        Returns (state, out (horizon, B, C+1), valid (horizon, B), steps)."""
+        state, out, valid, _hid, steps = self._get_decode_loop(
+            sampling, horizon=horizon
+        )(state, jnp.int32(horizon))
+        return state, out, valid, steps
 
     # -- drivers ----------------------------------------------------------
 

@@ -195,11 +195,13 @@ def _layer_prefill(x, lp, ck, cv, cos, sin, mask, slot, offset, cfg: DualARConfi
     """One block over a contiguous row range [slot, slot+B) at seq offset.
 
     x: (B, S, D); ck/cv: (B_total, KV, S_max, hd). Returns updated row
-    cache written back into the full buffer. `slot` must be a static int;
-    `offset` may be traced — the cache write is a scatter at computed
-    positions, NOT dynamic_update_slice: a traced-offset DUS inside the
-    layer scan sends the TPU compiler into a >10-minute pass, while the
-    equivalent scatter compiles in seconds (same story as the decode path).
+    cache written back into the full buffer. `slot` and `offset` may both
+    be traced scalars — cache access is scatter/gather at computed
+    indices, NOT dynamic_update_slice/dynamic_slice: a traced-offset DUS
+    inside the layer scan sends the TPU compiler into a >10-minute pass,
+    while the equivalent scatter compiles in seconds (same story as the
+    decode path). Traced `slot` is what lets the continuous batcher
+    prefill one row of a shared multi-request cache.
     """
     b, s, d = x.shape
     h = rms_norm(x, lp["attention_norm"], cfg.norm_eps)
@@ -208,7 +210,7 @@ def _layer_prefill(x, lp, ck, cv, cos, sin, mask, slot, offset, cfg: DualARConfi
     k = apply_rope_interleaved(k, cos, sin)
 
     pos_idx = offset + jnp.arange(s)  # (S,) absolute cache positions
-    row_idx = slot + jnp.arange(b)  # (B,) static row range
+    row_idx = slot + jnp.arange(b)  # (B,) row range
     # (B,1) x (1,S) advanced indices over dims (0, 2) -> value (B, S, KV, hd)
     ck = ck.at[row_idx[:, None], :, pos_idx[None, :], :].set(
         k.astype(ck.dtype).transpose(0, 2, 1, 3)
@@ -216,8 +218,8 @@ def _layer_prefill(x, lp, ck, cv, cos, sin, mask, slot, offset, cfg: DualARConfi
     cv = cv.at[row_idx[:, None], :, pos_idx[None, :], :].set(
         v.astype(cv.dtype).transpose(0, 2, 1, 3)
     )
-    rows_k = ck[slot : slot + b]
-    rows_v = cv[slot : slot + b]
+    rows_k = ck[row_idx]  # gather, traced-slot safe
+    rows_v = cv[row_idx]
 
     scale = 1.0 / (cfg.head_dim**0.5)
     attn = gqa_attention(q, rows_k, rows_v, mask, scale)

@@ -227,6 +227,63 @@ class TTSPipeline:
             return np.zeros((0,), np.float32)
         return np.concatenate(parts)
 
+    # -- continuous batching ----------------------------------------------
+
+    def create_batcher(self, rows: int = 16, horizon: int = 16):
+        """Build a ContinuousBatcher over `rows` shared decode rows (the
+        BASELINE serving config targets 16 concurrent requests). Uses this
+        pipeline's default sampling (compiled into the decode program)."""
+        from fish_speech_tpu.generate.continuous import ContinuousBatcher
+        from fish_speech_tpu.ops.sampling import BATCHED_REP_PEN_WINDOW
+
+        e = self.engine
+        engine = LMEngine(
+            e.full_params,
+            e.cfg,
+            e.token_cfg,
+            e.lm,
+            batch_size=rows,
+            cache_len=e.cache_len,
+            max_frames=e.max_frames,
+            rep_pen_window=BATCHED_REP_PEN_WINDOW,
+            prompt_buckets=e.prompt_buckets,
+            dtype=e.dtype,
+        )
+        return ContinuousBatcher(
+            engine, self.default_sampling, horizon=horizon
+        )
+
+    def synthesize_streaming_continuous(
+        self,
+        batcher,
+        text: str,
+        *,
+        voice_conditioning: Optional[np.ndarray] = None,
+        sysprompt: Optional[str] = None,
+        max_new_tokens: Optional[int] = None,
+    ) -> Iterator[np.ndarray]:
+        """Yield PCM per text chunk through a shared continuous batcher.
+        Unlike the serial path, many requests decode concurrently; this
+        call only blocks on ITS chunks. Vocoding runs in the caller's
+        thread (the codec jit is independent of the batcher)."""
+        chunks = preprocess_text(text)
+        if not chunks:
+            return
+        if sysprompt is None and self.lm == WhichLM.FISH_1_5:
+            sysprompt = FISH_1_5_SYSPROMPT
+        n_cond, encoded = self.prompt_encoder.encode_sequence(
+            chunks,
+            sysprompt_text=sysprompt,
+            cached_speaker=voice_conditioning,
+            assume_kv_cache=True,
+        )
+        req = batcher.submit(
+            encoded, n_cond, max_new_tokens or self.max_new_tokens
+        )
+        for chunk in req:
+            codes = self._shift_output_tokens(chunk.tokens)
+            yield self.codec.decode(codes)[0]
+
     # -- static batching ---------------------------------------------------
 
     def _get_batch_engine(self, batch_size: int) -> LMEngine:

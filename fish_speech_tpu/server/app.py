@@ -44,11 +44,16 @@ class AppState:
         pipeline: TTSPipeline,
         voices: Optional[Dict[str, np.ndarray]] = None,
         default_voice: Optional[np.ndarray] = None,
+        batcher=None,
     ) -> None:
         self.pipeline = pipeline
         self.voices: Dict[str, np.ndarray] = voices or {}
         self.default_voice = default_voice
-        self.lock = asyncio.Lock()  # serializes engine access
+        # With a ContinuousBatcher attached, speech requests decode
+        # concurrently through shared batch rows and skip this lock (the
+        # reference serializes every request on a tokio mutex).
+        self.batcher = batcher
+        self.lock = asyncio.Lock()  # serializes engine access (serial path)
 
 
 def _resolve_voice(state: AppState, name: str) -> Optional[np.ndarray]:
@@ -82,6 +87,13 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
         max_new_tokens=max_new,
     )
 
+    # continuous-batching path: requests share decode rows, no global
+    # lock; used when a batcher is attached and the request doesn't need
+    # the serial-only features (explicit seed, in-request static batch)
+    use_batcher = (
+        state.batcher is not None and seed is None and not batch_size
+    )
+
     if response_format == "opus":
         from fish_speech_tpu.audio.opus import OggOpusEncoder
 
@@ -99,14 +111,14 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
         encoder = OggOpusEncoder(OPUS_RATE)
         await resp.write(encoder.header())
 
-        async with state.lock:
+        async def _stream(gen, as_pcm):
             loop = asyncio.get_running_loop()
-            gen = pipeline.synthesize_streaming(text, **kwargs)
             while True:
                 chunk = await loop.run_in_executor(None, next, gen, None)
                 if chunk is None:
                     break
-                pcm24 = resample(chunk.pcm, pipeline.codec.sample_rate, OPUS_RATE)
+                pcm = chunk if as_pcm else chunk.pcm
+                pcm24 = resample(pcm, pipeline.codec.sample_rate, OPUS_RATE)
                 data = encoder.encode(pcm24)
                 # stream in 1024-byte chunks like the reference
                 # (speech.rs:216-223)
@@ -115,9 +127,42 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
             tail = encoder.encode(np.zeros(0, np.float32), final=True)
             if tail:
                 await resp.write(tail)
+
+        if use_batcher:
+            gen = pipeline.synthesize_streaming_continuous(
+                state.batcher,
+                text,
+                voice_conditioning=conditioning,
+                sysprompt=sysprompt,
+                max_new_tokens=max_new,
+            )
+            await _stream(gen, as_pcm=True)
+        else:
+            async with state.lock:
+                gen = pipeline.synthesize_streaming(text, **kwargs)
+                await _stream(gen, as_pcm=False)
         encoder.close()
         await resp.write_eof()
         return resp
+
+    if use_batcher:
+        def _run_batched():
+            parts = list(
+                pipeline.synthesize_streaming_continuous(
+                    state.batcher,
+                    text,
+                    voice_conditioning=conditioning,
+                    sysprompt=sysprompt,
+                    max_new_tokens=max_new,
+                )
+            )
+            return (
+                np.concatenate(parts) if parts else np.zeros((0,), np.float32)
+            )
+
+        pcm = await asyncio.to_thread(_run_batched)
+        wav = pcm_to_wav_bytes(pcm, pipeline.codec.sample_rate)
+        return web.Response(body=wav, content_type="audio/wav")
 
     # blocking WAV path; opt-in static batching over the request's text
     # chunks (reference: handlers/speech.rs:73-92,140-150)

@@ -45,6 +45,14 @@ def main() -> None:
     parser.add_argument(
         "--max-new-tokens", type=int, default=DEFAULT_MAX_NEW_TOKENS
     )
+    parser.add_argument(
+        "--continuous-batch",
+        type=int,
+        default=0,
+        metavar="ROWS",
+        help="decode this many concurrent requests through shared batch "
+        "rows (0 = serialize requests like the reference)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -73,7 +81,12 @@ def main() -> None:
         pipeline.prompt_encoder,
         pipeline.engine.cfg.num_codebooks,
     )
-    state = AppState(pipeline, voices, default_voice)
+    batcher = (
+        pipeline.create_batcher(args.continuous_batch)
+        if args.continuous_batch > 0
+        else None
+    )
+    state = AppState(pipeline, voices, default_voice, batcher=batcher)
     serve(state, port=args.port)
 
 

@@ -278,3 +278,37 @@ def test_speech_route_batched(state):
 
     wav = _sync(_run(state, fn))
     assert wav[:4] == b"RIFF"
+
+
+def test_speech_route_with_continuous_batcher(pipeline):
+    """Speech route through a shared ContinuousBatcher: concurrent
+    requests decode through batch rows with no global lock."""
+    voice = pipeline.prompt_encoder.encode_conditioning_prompt(
+        "hi", np.zeros((NUM_CODEBOOKS, 3), np.int32)
+    )
+    batcher = pipeline.create_batcher(rows=2, horizon=4)
+    st = AppState(pipeline, {"default": voice}, voice, batcher=batcher)
+    try:
+        async def fn(client):
+            resps = await asyncio.gather(
+                client.post(
+                    "/v1/audio/speech",
+                    json={"voice": "default", "input": "Hello world."},
+                ),
+                client.post(
+                    "/v1/audio/speech",
+                    json={"voice": "default", "input": "Another one."},
+                ),
+            )
+            out = []
+            for r in resps:
+                assert r.status == 200, await r.text()
+                assert r.content_type == "audio/wav"
+                out.append(await r.read())
+            return out
+
+        wavs = _sync(_run(st, fn))
+        for w in wavs:
+            assert w[:4] == b"RIFF"
+    finally:
+        batcher.shutdown()
