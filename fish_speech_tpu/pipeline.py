@@ -110,17 +110,33 @@ class TTSPipeline:
 
         fish_version = model.fish_version
         if fish_version is None:
-            raise NotImplementedError(
-                "Mimi codec for generic DualAR models is not wired up yet; "
-                "use a Fish checkpoint"
+            # Generic DualAR (smoltts): Mimi codec at the LM's codebook
+            # count (reference: load.rs:176-186, audio/codec.rs Codec::Mimi)
+            from fish_speech_tpu.models.codec.mimi import (
+                MimiCodec,
+                MimiConfig,
+                load_mimi_params,
             )
-        codec_cfg = FireflyConfig.for_version(fish_version)
-        codec_params = load_firefly_params(
-            codec_file if codec_file is not None else checkpoint_dir,
-            codec_cfg,
-            dtype=codec_dtype,
-        )
-        codec = FireflyCodec(codec_params, codec_cfg)
+
+            mimi_cfg = MimiConfig()
+            mimi_path = (
+                Path(codec_file)
+                if codec_file is not None
+                else checkpoint_dir / "mimi.safetensors"
+            )
+            codec = MimiCodec(
+                load_mimi_params(mimi_path, mimi_cfg),
+                mimi_cfg,
+                num_quantizers=cfg.num_codebooks,
+            )
+        else:
+            codec_cfg = FireflyConfig.for_version(fish_version)
+            codec_params = load_firefly_params(
+                codec_file if codec_file is not None else checkpoint_dir,
+                codec_cfg,
+                dtype=codec_dtype,
+            )
+            codec = FireflyCodec(codec_params, codec_cfg)
         return TTSPipeline(
             engine, codec, tokenizer, lm, max_new_tokens=max_new_tokens
         )
