@@ -39,6 +39,7 @@ from fish_speech_tpu.models.dual_ar import (
     KVCache,
     slow_decode_step,
     slow_prefill,
+    use_pallas_attention_default,
 )
 from fish_speech_tpu.ops.sampling import (
     SINGLE_STREAM_REP_PEN_WINDOW,
@@ -103,6 +104,7 @@ class LMEngine:
         rep_pen_window: int = SINGLE_STREAM_REP_PEN_WINDOW,
         prompt_buckets=DEFAULT_BUCKETS,
         dtype=jnp.bfloat16,
+        attention_impl: str = "auto",
     ) -> None:
         # Gather the LM head down to the audio-legal columns once: the
         # per-frame head matmul then reads ~1 MB instead of ~200 MB
@@ -117,6 +119,13 @@ class LMEngine:
         )
         self.params = params
         self.cfg = cfg
+        # "auto" -> fused Pallas decode attention on single-device TPU,
+        # XLA lowering elsewhere (CPU tests, sharded multi-chip)
+        self.use_pallas = (
+            use_pallas_attention_default()
+            if attention_impl == "auto"
+            else attention_impl == "pallas"
+        )
         self.token_cfg = token_cfg
         self.lm = lm
         self.batch_size = batch_size
@@ -208,7 +217,13 @@ class LMEngine:
     def _decode_body(self, params, sampling: SamplingArgs, state: GenState):
         rng, frame_rng = jax.random.split(state.rng)
         logits, hidden, cache = slow_decode_step(
-            params, self.cfg, self.token_cfg, state.prev, state.cache, state.pos
+            params,
+            self.cfg,
+            self.token_cfg,
+            state.prev,
+            state.cache,
+            state.pos,
+            use_pallas=self.use_pallas,
         )
         res: FrameResult = generate_frame(
             params,

@@ -334,6 +334,17 @@ def slow_prefill(
     return logits, hidden, cache
 
 
+def use_pallas_attention_default() -> bool:
+    """Fused Pallas decode attention: on for single-device TPU backends,
+    off elsewhere (CPU tests run the kernel in interpret mode explicitly;
+    the multi-chip sharded path keeps the XLA lowering, which pjit can
+    partition automatically)."""
+    try:
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
+    except RuntimeError:  # pragma: no cover — backend not initialized
+        return False
+
+
 def slow_decode_step(
     params: DualARParams,
     cfg: DualARConfig,
@@ -341,6 +352,7 @@ def slow_decode_step(
     tokens: jnp.ndarray,
     cache: KVCache,
     pos: jnp.ndarray,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
     """One slow-stack decode step for all cache rows.
 
@@ -353,6 +365,9 @@ def slow_decode_step(
     while-loop carry aliasing and shows up as two full-cache device copies
     per frame in profiles (~15% of the decode step). Scatter-updating one
     carried (L, B, KV, S, hd) buffer in place keeps the carry aliased.
+    With use_pallas, the scatter + mask + attention chain per layer is one
+    fused kernel with guaranteed in-place cache updates
+    (ops/attention_pallas.py).
     """
     b = tokens.shape[0]
     x = embed_tokens(params, cfg, token_cfg, tokens[:, :, None])  # (B, 1, D)
@@ -374,9 +389,25 @@ def slow_decode_step(
         q, k, v = _project_qkv(h, lp, cfg)  # (B, heads, 1, hd)
         q = apply_rope_interleaved(q, cos, sin)
         k = apply_rope_interleaved(k, cos, sin)
-        ck = ck.at[l, rows, :, pos, :].set(k.squeeze(2).astype(ck.dtype))
-        cv = cv.at[l, rows, :, pos, :].set(v.squeeze(2).astype(cv.dtype))
-        attn = gqa_attention(q, ck[l], cv[l], mask, scale)
+        if use_pallas:
+            from fish_speech_tpu.ops.attention_pallas import (
+                fused_decode_attention,
+            )
+
+            attn, ck, cv = fused_decode_attention(
+                q[:, :, 0, :],
+                k[:, :, 0, :].astype(ck.dtype),
+                v[:, :, 0, :].astype(cv.dtype),
+                pos,
+                ck,
+                cv,
+                jnp.int32(l),
+            )
+            attn = attn[:, :, None, :]
+        else:
+            ck = ck.at[l, rows, :, pos, :].set(k.squeeze(2).astype(ck.dtype))
+            cv = cv.at[l, rows, :, pos, :].set(v.squeeze(2).astype(cv.dtype))
+            attn = gqa_attention(q, ck[l], cv[l], mask, scale)
         x = x + attn.transpose(0, 2, 1, 3).reshape(b, 1, d) @ lp["wo"]
         h2 = rms_norm(x, lp["ffn_norm"], cfg.norm_eps)
         gate = jax.nn.silu((h2 @ lp["w1"]).astype(jnp.float32)).astype(x.dtype)
