@@ -425,31 +425,39 @@ def slow_decode_step(
 # --------------------------------------------------------------------------
 
 
-def fast_hist_init(
-    cfg: DualARConfig, batch: int, dtype=jnp.bfloat16
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Empty fast-transformer KV history: (L_fast, B, KV, 0, hd) pair."""
-    shape = (cfg.n_fast_layer, batch, cfg.n_local_heads, 0, cfg.head_dim)
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+def fast_hist_init(cfg: DualARConfig, batch: int, dtype=jnp.bfloat16):
+    """Empty per-layer fast-transformer KV history: a list of
+    (k, v) pairs shaped (B, KV, 0, hd), one per fast layer."""
+    shape = (batch, cfg.n_local_heads, 0, cfg.head_dim)
+    return [
+        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        for _ in range(cfg.n_fast_layer)
+    ]
 
 
 def fast_step(
     params: DualARParams,
     cfg: DualARConfig,
     x: jnp.ndarray,
-    hist: Tuple[jnp.ndarray, jnp.ndarray],
+    hist,
     codebook_idx: int,
-) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+):
     """One fast-transformer step at STATIC codebook position codebook_idx.
 
     x: (B, 1, D) — the slow hidden state (codebook 0) or the embedding of
-    the previously sampled codebook token. hist: (k, v) histories shaped
-    (L_fast, B, KV, codebook_idx, hd) — the KV "cache" for the fast model
-    is just the concatenated history of this frame's steps. With at most
-    num_codebooks (<= 8) positions there is nothing to pre-allocate, every
-    shape is static (the per-frame codebook loop is unrolled in Python),
-    and no mask is needed: the single query attends to all history
-    (the reference's fast mask is all-zeros anyway, dual_ar.rs:640-647).
+    the previously sampled codebook token. hist: per-layer list of (k, v)
+    histories shaped (B, KV, codebook_idx, hd) — the KV "cache" for the
+    fast model is just the concatenated history of this frame's steps.
+    With at most num_codebooks (<= 8) positions there is nothing to
+    pre-allocate, every shape is static (the per-frame codebook loop is
+    unrolled in Python), and no mask is needed: the single query attends
+    to all history (the reference's fast mask is all-zeros anyway,
+    dual_ar.rs:640-647).
+
+    The 4 layers are UNROLLED rather than lax.scan'd: the scanned form
+    runs 2.2x slower on TPU (1.77 vs 0.80 ms per 8-step frame — scan's
+    per-iteration parameter slicing and carry management dominate these
+    tiny matvecs).
 
     The fast model's sequence axis is the codebook axis: RoPE is indexed
     by codebook position, history reset every frame
@@ -457,26 +465,26 @@ def fast_step(
     Returns (logits (B, codebook_size) f32, grown hist).
     """
     cos, sin = _rope_slice(cfg, 1, codebook_idx)
-    kh, vh = hist
     scale = 1.0 / (cfg.head_dim**0.5)
 
-    def body(carry_x, per_layer):
-        lp, kh_l, vh_l = per_layer
-        b, _, d = carry_x.shape
-        h = rms_norm(carry_x, lp["attention_norm"], cfg.norm_eps)
+    new_hist = []
+    for l in range(cfg.n_fast_layer):
+        lp = {k: v[l] for k, v in params["fast"].items()}
+        kh_l, vh_l = hist[l]
+        b, _, d = x.shape
+        h = rms_norm(x, lp["attention_norm"], cfg.norm_eps)
         q, k, v = _project_qkv(h, lp, cfg)  # (B, heads, 1, hd)
         q = apply_rope_interleaved(q, cos, sin)
         k = apply_rope_interleaved(k, cos, sin)
         ks = jnp.concatenate([kh_l, k.astype(kh_l.dtype)], axis=2)
         vs = jnp.concatenate([vh_l, v.astype(vh_l.dtype)], axis=2)
         attn = gqa_attention(q, ks, vs, None, scale)
-        out = carry_x + attn.transpose(0, 2, 1, 3).reshape(b, 1, d) @ lp["wo"]
-        h2 = rms_norm(out, lp["ffn_norm"], cfg.norm_eps)
-        gate = jax.nn.silu((h2 @ lp["w1"]).astype(jnp.float32)).astype(out.dtype)
-        out = out + (gate * (h2 @ lp["w3"])) @ lp["w2"]
-        return out, (ks, vs)
+        x = x + attn.transpose(0, 2, 1, 3).reshape(b, 1, d) @ lp["wo"]
+        h2 = rms_norm(x, lp["ffn_norm"], cfg.norm_eps)
+        gate = jax.nn.silu((h2 @ lp["w1"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + (gate * (h2 @ lp["w3"])) @ lp["w2"]
+        new_hist.append((ks, vs))
 
-    x, (ks, vs) = jax.lax.scan(body, x, (params["fast"], kh, vh))
     fast_out = rms_norm(x[:, 0, :], params["fast_norm"], cfg.norm_eps)  # (B, D)
 
     w = params["fast_output"]  # (D, fast_output_size)
@@ -484,7 +492,7 @@ def fast_step(
         # per-codebook output head slice (reference: dual_ar.rs:661-671)
         w = w[:, codebook_idx * cfg.codebook_size : (codebook_idx + 1) * cfg.codebook_size]
     logits = (fast_out @ w).astype(jnp.float32)
-    return logits, (ks, vs)
+    return logits, new_hist
 
 
 def fast_embed(

@@ -217,7 +217,7 @@ class TestFastPath:
         for cb in range(CFG.num_codebooks):
             logits, hist = fast_step(params, CFG, x, hist, cb)
             assert logits.shape == (b, CFG.codebook_size)
-            assert hist[0].shape[3] == cb + 1
+            assert hist[0][0].shape[2] == cb + 1
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             x = fast_embed(params, CFG, tok, cb)
             assert x.shape == (b, 1, CFG.dim)
