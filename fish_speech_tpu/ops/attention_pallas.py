@@ -38,11 +38,12 @@ def _kernel(layer_ref, q_ref, kn_ref, vn_ref, pos_ref, ck_ref, cv_ref,
     """One (layer, batch-row) block.
 
     layer_ref: (1,) scalar-prefetch (consumed by the index maps only);
-    q_ref: (1, H, hd); kn/vn: (1, KV, hd); pos_ref: (1, 1) SMEM;
-    ck/cv (aliased in->out): (1, 1, KV, S, hd); attn_ref: (1, H, hd).
+    q_ref: (1, H, hd); kn/vn: (1, KV, hd); pos_ref: (B, 1) SMEM (full
+    array, indexed by the grid row); ck/cv (aliased in->out):
+    (1, 1, KV, S, hd); attn_ref: (1, H, hd).
     """
     del layer_ref
-    pos = pos_ref[0, 0]
+    pos = pos_ref[pl.program_id(0), 0]
     group = n_heads // n_kv
     s = ck_ref.shape[3]
 
@@ -109,7 +110,9 @@ def fused_decode_attention(
             pl.BlockSpec((1, h, hd), lambda i, _: (i, 0, 0)),
             pl.BlockSpec((1, kv, hd), lambda i, _: (i, 0, 0)),
             pl.BlockSpec((1, kv, hd), lambda i, _: (i, 0, 0)),
-            pl.BlockSpec((1, 1), lambda i, _: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (b, 1), lambda i, _: (0, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec((1, 1, kv, s, hd), cache_map),
             pl.BlockSpec((1, 1, kv, s, hd), cache_map),
         ],
