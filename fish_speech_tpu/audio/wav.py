@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import io
 import struct
-import wave
 from typing import Tuple, Union
 
 import numpy as np

@@ -21,7 +21,6 @@ import argparse
 import sys
 import time
 
-import numpy as np
 
 DEFAULT_TEXT = (
     "Beneath the golden rooftops of a quiet mountain town, the morning "

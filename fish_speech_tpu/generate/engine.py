@@ -19,7 +19,6 @@ with a TPU-native design:
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from functools import partial
 from typing import NamedTuple, Optional, Tuple

@@ -10,7 +10,7 @@ nucleus sampling — is a single traced computation.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

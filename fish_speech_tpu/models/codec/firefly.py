@@ -10,7 +10,6 @@ with sequence masks zeroing the padded tail exactly like the reference's
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax

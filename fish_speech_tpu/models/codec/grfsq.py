@@ -17,7 +17,6 @@ from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from fish_speech_tpu.config import DownsampleFSQConfig
 from fish_speech_tpu.models.codec import fsq

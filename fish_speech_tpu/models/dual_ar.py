@@ -13,9 +13,14 @@ XLA's compilation model instead of candle's eager graphs:
   continuous batching in the server (the reference left-pads into a
   static batch and its pad mask is dead code — dual_ar.rs:589-615,
   SURVEY §2.5; here padding is handled correctly by construction).
-* Layers run under `lax.scan` over a stacked `(L, ...)` parameter
-  pytree: one compiled block regardless of depth, and a natural layout
-  for tensor-parallel sharding along the hidden axes.
+* Prefill layers run under `lax.scan` over a stacked `(L, ...)`
+  parameter pytree (one compiled block regardless of depth; natural
+  layout for tensor-parallel sharding). DECODE layers are unrolled with
+  in-place updates of one carried cache buffer — scan restacks the
+  per-layer KV every frame and defeats while-carry aliasing (measured as
+  two full-cache copies per frame), and the optional Pallas fused
+  attention (ops/attention_pallas.py) makes the in-place update
+  explicit via input_output_aliases.
 * GQA never materializes repeated KV heads (see ops/attention.py); this
   replaces the reference's custom CUDA `repeat_kv` kernel
   (candle-gqa-kernels/src/unary.cu).
@@ -33,7 +38,7 @@ forward pass is `x @ w`; the checkpoint loader transposes from torch's
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

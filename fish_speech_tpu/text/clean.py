@@ -13,7 +13,6 @@ we apply replacements longest-key-first in a fixed order.
 from __future__ import annotations
 
 import enum
-import re
 from typing import List, Tuple
 
 # (reference: clean.rs:8-45)

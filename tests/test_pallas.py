@@ -1,7 +1,6 @@
 """Parity tests for the Pallas fused decode-attention kernel (interpret
 mode on CPU) against the XLA scatter+attention path."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
