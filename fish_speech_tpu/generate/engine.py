@@ -19,6 +19,7 @@ with a TPU-native design:
 
 from __future__ import annotations
 
+import logging
 import time
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
@@ -45,6 +46,8 @@ from fish_speech_tpu.ops.sampling import (
     RepPenWindow,
     SamplingArgs,
 )
+
+logger = logging.getLogger(__name__)
 
 DEFAULT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096)
 
@@ -643,6 +646,32 @@ class LMEngine:
                 )
             )
         return results
+
+    def warmup(self, sampling: Optional[SamplingArgs] = None, buckets=None):
+        """Pre-compile the prefill (per prompt bucket) and decode-loop
+        programs so the first real request pays no compile latency
+        (production servers call this at startup via --warmup; the
+        persistent compile cache makes later restarts near-instant)."""
+        sampling = sampling or SamplingArgs()
+        b, c = self.batch_size, self.cfg.num_codebooks
+        for bucket in buckets or self.prompt_buckets:
+            t0 = time.perf_counter()
+            state = self.init_state(seed=0)
+            prompt = np.zeros((b, c + 1, bucket), np.int32)
+            state, _, _ = self.prefill(state, prompt, sampling)
+            jax.block_until_ready(state.pos)
+            logger.info(
+                "warmup prefill bucket %d: %.1fs",
+                bucket,
+                time.perf_counter() - t0,
+            )
+        t0 = time.perf_counter()
+        state = self.init_state(seed=0)
+        state, out, _, _, _ = self._get_decode_loop(sampling)(
+            state, jnp.int32(1)
+        )
+        np.asarray(out[:1])
+        logger.info("warmup decode loop: %.1fs", time.perf_counter() - t0)
 
     def rewind(self, state: GenState, length: int) -> GenState:
         """Logical equivalent of clear_slow_caches_until(length)

@@ -46,6 +46,11 @@ def main() -> None:
         "--max-new-tokens", type=int, default=DEFAULT_MAX_NEW_TOKENS
     )
     parser.add_argument(
+        "--warmup",
+        action="store_true",
+        help="pre-compile prefill buckets and the decode loop at startup",
+    )
+    parser.add_argument(
         "--continuous-batch",
         type=int,
         default=0,
@@ -81,6 +86,8 @@ def main() -> None:
         pipeline.prompt_encoder,
         pipeline.engine.cfg.num_codebooks,
     )
+    if args.warmup:
+        pipeline.engine.warmup(pipeline.default_sampling)
     batcher = (
         pipeline.create_batcher(args.continuous_batch)
         if args.continuous_batch > 0

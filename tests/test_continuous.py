@@ -74,3 +74,32 @@ def test_concurrent_requests_overflow_rows(batcher):
         assert len(chunks) == 1
         assert chunks[0].tokens.shape[0] == CFG.num_codebooks
         assert chunks[0].tokens.shape[1] >= 1
+
+
+def test_batcher_matches_serial_argmax():
+    """With temp=0 (argmax ignores the shared RNG), a request through the
+    batcher must produce exactly what the serial engine produces."""
+    params = init_dual_ar_params(jax.random.PRNGKey(5), CFG, dtype=jnp.float32)
+    sampling = SamplingArgs(temp=0.0)
+    prompt = make_prompt(7)
+
+    serial = LMEngine(
+        params, CFG, TOK, WhichLM.FISH_1_5,
+        cache_len=64, max_frames=8, dtype=jnp.float32, prompt_buckets=(16,),
+    )
+    ref, _ = serial.generate(prompt, max_new_tokens=6, sampling=sampling, seed=0)
+
+    beng = LMEngine(
+        params, CFG, TOK, WhichLM.FISH_1_5,
+        batch_size=2, cache_len=64, max_frames=8,
+        dtype=jnp.float32, prompt_buckets=(16,),
+    )
+    b = ContinuousBatcher(beng, sampling, horizon=3)
+    try:
+        req = b.submit([prompt], cond_len=0, max_new=6)
+        chunks = [c for c in req]
+    finally:
+        b.shutdown()
+    assert len(chunks) == 1
+    np.testing.assert_array_equal(chunks[0].semantic, ref.semantic)
+    np.testing.assert_array_equal(chunks[0].tokens, ref.tokens)

@@ -166,3 +166,15 @@ class TestGenerateBatch:
         for r in results:
             assert r.tokens.shape[0] == CFG.num_codebooks
             assert r.frames == r.tokens.shape[1] == r.semantic.shape[0]
+
+
+def test_collect_hidden_states(engine):
+    res, _ = engine.generate(
+        make_prompt(6), max_new_tokens=5,
+        sampling=SamplingArgs(temp=0.0), seed=0, collect_hidden=True,
+    )
+    assert res.hidden is not None
+    assert res.hidden.shape == (res.frames, CFG.dim)
+    assert res.hidden.dtype == np.float32
+    assert np.isfinite(res.hidden).all()
+    assert np.abs(res.hidden).max() > 0
