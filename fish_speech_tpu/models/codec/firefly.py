@@ -158,6 +158,33 @@ class FireflyCodec:
         )
         return codes[:, :, :t_out]
 
+    def decode_tail(
+        self, codes: np.ndarray, new_frames: int, context_frames: int = 32
+    ) -> np.ndarray:
+        """Incremental decode for streaming: given ALL codes so far
+        (num_codebooks, T), return the PCM for just the last `new_frames`
+        frames, decoded with `context_frames` of left context.
+
+        Fish 1.4+ convolutions are causal (FishConvNet left-pads,
+        FishTransConvNet right-trims — codec/utils/mod.rs:53-63,110-123),
+        so with enough left context the tail samples equal the
+        whole-sequence decode exactly; 32 code frames (~128 mel frames)
+        comfortably covers the ConvNeXt+HiFiGAN receptive field. This is
+        what gives the server sub-chunk time-to-first-audio: the reference
+        vocodes only whole text chunks (handlers/speech.rs:94-110).
+        """
+        codes = np.asarray(codes)
+        t = codes.shape[-1]
+        new_frames = min(new_frames, t)
+        start = max(t - new_frames - context_frames, 0)
+        window = codes[:, start:]
+        pcm = self.decode(window)[0]
+        spf = (
+            self.cfg.quantizer.total_downsample
+            * self.cfg.spec_transform.hop_length
+        )
+        return pcm[(t - start - new_frames) * spf :]
+
     def frames_for_samples(self, n_samples: int) -> int:
         f = num_frames(
             n_samples, self.cfg.spec_transform.n_fft, self.cfg.spec_transform.hop_length

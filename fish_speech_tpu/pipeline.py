@@ -243,6 +243,85 @@ class TTSPipeline:
             return np.zeros((0,), np.float32)
         return np.concatenate(parts)
 
+    def synthesize_streaming_lowlatency(
+        self,
+        text: str,
+        *,
+        frame_chunk: int = 16,
+        context_frames: int = 32,
+        voice_conditioning: Optional[np.ndarray] = None,
+        sampling: Optional[SamplingArgs] = None,
+        sysprompt: Optional[str] = None,
+        max_new_tokens: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> Iterator[np.ndarray]:
+        """Yield PCM every `frame_chunk` LM frames (~0.74 s of audio at 16
+        frames) instead of per text chunk: the LM decodes fixed-horizon
+        slices and the vocoder decodes incrementally with causal left
+        context (FireflyCodec.decode_tail). Time-to-first-audio becomes
+        prefill + frame_chunk decode + one small vocode — the reference
+        can only stream whole text chunks (handlers/speech.rs:180-236).
+
+        No runaway reroll in this mode (audio already streamed can't be
+        retracted); runaway chunks are truncated at the budget. Requires a
+        causal codec (Fish 1.4+).
+        """
+        sampling = sampling or self.default_sampling
+        chunks = preprocess_text(text)
+        if not chunks:
+            return
+        if sysprompt is None and self.lm == WhichLM.FISH_1_5:
+            sysprompt = FISH_1_5_SYSPROMPT
+        n_cond, encoded = self.prompt_encoder.encode_sequence(
+            chunks,
+            sysprompt_text=sysprompt,
+            cached_speaker=voice_conditioning,
+            assume_kv_cache=True,
+        )
+        max_new = max_new_tokens or self.max_new_tokens
+        engine = self.engine
+        state = engine.init_state(seed)
+        cond_len = 0
+        for i, chunk_tokens in enumerate(encoded):
+            offset = cond_len if i > 0 else 0
+            state, first_frame, first_eos, _ = engine._prefill_raw(
+                state, chunk_tokens, sampling, offset=offset
+            )
+            frames = [np.asarray(first_frame)[0]]
+            budget = min(
+                max_new - 1,
+                engine.cache_len - (offset + chunk_tokens.shape[-1]) - 1,
+            )
+            done = bool(np.asarray(first_eos)[0])
+            emitted_frames = 0
+            while not done and len(frames) - 1 < budget:
+                state, out, valid, steps = engine.decode_chunk(
+                    state, sampling, frame_chunk
+                )
+                out = np.asarray(out)
+                valid = np.asarray(valid)
+                for s in range(int(steps)):
+                    if valid[s, 0] and len(frames) - 1 < budget:
+                        frames.append(out[s, 0])
+                    else:
+                        done = True
+                        break
+                else:
+                    done = bool(np.asarray(state.done)[0])
+                codes = self._shift_output_tokens(
+                    np.stack(frames, axis=1)[1:]
+                )
+                if codes.shape[1] > emitted_frames:
+                    yield self.codec.decode_tail(
+                        codes,
+                        codes.shape[1] - emitted_frames,
+                        context_frames,
+                    )
+                    emitted_frames = codes.shape[1]
+            if i == 0:
+                cond_len = n_cond
+            state = engine.rewind(state, cond_len)
+
     # -- continuous batching ----------------------------------------------
 
     def create_batcher(self, rows: int = 16, horizon: int = 16):

@@ -76,6 +76,9 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
     seed = body.get("seed")
     max_new = body.get("max_new_tokens")
     batch_size = body.get("batch_size")
+    # opt-in sub-chunk streaming: emit PCM every N LM frames instead of
+    # per text chunk (causal vocoder tail decode; Fish 1.4+ only)
+    stream_chunk_frames = body.get("stream_chunk_frames")
 
     conditioning = _resolve_voice(state, voice)
     pipeline = state.pipeline

@@ -1,0 +1,73 @@
+"""Low-latency streaming: incremental causal vocoder decode and the
+frame-chunked synthesis path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fish_speech_tpu.models.codec.firefly import FireflyCodec, init_firefly_params
+from fish_speech_tpu.ops.sampling import SamplingArgs
+from tests.test_server import CODEC_CFG, NUM_CODEBOOKS
+
+
+@pytest.fixture(scope="module")
+def codec():
+    params = init_firefly_params(jax.random.PRNGKey(3), CODEC_CFG)
+    return FireflyCodec(params, CODEC_CFG, buckets=(16, 32, 64))
+
+
+def test_decode_tail_matches_whole(codec):
+    """Chunked causal decode must reproduce the whole-sequence decode."""
+    rng = np.random.default_rng(0)
+    t = 40
+    codes = rng.integers(0, 999, size=(NUM_CODEBOOKS, t)).astype(np.int32)
+    whole = codec.decode(codes)[0]
+
+    parts = []
+    emitted = 0
+    for end in (7, 16, 28, t):
+        parts.append(codec.decode_tail(codes[:, :end], end - emitted, 16))
+        emitted = end
+    streamed = np.concatenate(parts)
+    assert streamed.shape == whole.shape
+    np.testing.assert_allclose(streamed, whole, atol=2e-3, rtol=1e-2)
+
+
+def test_lowlatency_stream_matches_blocking():
+    """Frame-chunked streaming synthesis (temp=0) must produce the same
+    audio as the blocking path."""
+    from tests.test_server import DummyTokenizer, LM_CFG, TOK
+    from fish_speech_tpu.config import WhichLM
+    from fish_speech_tpu.generate.engine import LMEngine
+    from fish_speech_tpu.models.dual_ar import init_dual_ar_params
+    from fish_speech_tpu.pipeline import TTSPipeline
+
+    params = init_dual_ar_params(jax.random.PRNGKey(0), LM_CFG, dtype=jnp.float32)
+    # bias toward <|im_end|> so argmax generation terminates (see
+    # tests/test_server.py fixture note)
+    params["output"] = params["output"].at[:, TOK.im_end_id].add(0.6)
+    engine = LMEngine(
+        params, LM_CFG, TOK, WhichLM.FISH_1_5,
+        cache_len=128, max_frames=16, dtype=jnp.float32, prompt_buckets=(64, 128),
+    )
+    codec_params = init_firefly_params(jax.random.PRNGKey(1), CODEC_CFG)
+    codec = FireflyCodec(codec_params, CODEC_CFG, buckets=(8, 16, 32))
+    pipe = TTSPipeline(
+        engine, codec, DummyTokenizer(), WhichLM.FISH_1_5, max_new_tokens=10
+    )
+    sampling = SamplingArgs(temp=0.0)
+
+    blocking = pipe.synthesize("Hello there world.", sampling=sampling, seed=0)
+    parts = list(
+        pipe.synthesize_streaming_lowlatency(
+            "Hello there world.",
+            frame_chunk=4,
+            context_frames=8,
+            sampling=sampling,
+            seed=0,
+        )
+    )
+    streamed = np.concatenate(parts)
+    assert streamed.shape == blocking.shape
+    np.testing.assert_allclose(streamed, blocking, atol=2e-3, rtol=1e-2)
