@@ -318,6 +318,13 @@ class TTSPipeline:
                         context_frames,
                     )
                     emitted_frames = codes.shape[1]
+            # flush anything not yet emitted (e.g. EOS on the very first
+            # frame, where the decode loop never runs)
+            codes = self._shift_output_tokens(np.stack(frames, axis=1)[1:])
+            if codes.shape[1] > emitted_frames:
+                yield self.codec.decode_tail(
+                    codes, codes.shape[1] - emitted_frames, context_frames
+                )
             if i == 0:
                 cond_len = n_cond
             state = engine.rewind(state, cond_len)

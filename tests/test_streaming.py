@@ -46,7 +46,7 @@ def test_lowlatency_stream_matches_blocking():
     params = init_dual_ar_params(jax.random.PRNGKey(0), LM_CFG, dtype=jnp.float32)
     # bias toward <|im_end|> so argmax generation terminates (see
     # tests/test_server.py fixture note)
-    params["output"] = params["output"].at[:, TOK.im_end_id].add(1.0)
+    params["output"] = params["output"].at[:, TOK.im_end_id].multiply(50.0)
     engine = LMEngine(
         params, LM_CFG, TOK, WhichLM.FISH_1_5,
         cache_len=128, max_frames=16, dtype=jnp.float32, prompt_buckets=(64, 128),
