@@ -30,6 +30,7 @@ import queue
 import threading
 from typing import List, Optional
 
+import jax
 import numpy as np
 
 from fish_speech_tpu.generate.engine import GenState, LMEngine
@@ -193,8 +194,6 @@ class ContinuousBatcher:
                 self.state, out, valid, steps = self.engine.decode_chunk(
                     self.state, self.sampling, self.horizon
                 )
-                import jax
-
                 out, valid, done, steps = jax.device_get(
                     (out, valid, self.state.done, steps)
                 )
