@@ -107,6 +107,7 @@ class LMEngine:
         prompt_buckets=DEFAULT_BUCKETS,
         dtype=jnp.bfloat16,
         attention_impl: str = "auto",
+        quantize_int8: bool = False,
     ) -> None:
         # Gather the LM head down to the audio-legal columns once: the
         # per-frame head matmul then reads ~1 MB instead of ~200 MB
@@ -119,6 +120,13 @@ class LMEngine:
         params["output"] = jnp.take(
             params["output"], jnp.asarray(cols), axis=1
         )
+        if quantize_int8:
+            # weight-only int8 for the matmul stacks: ~2x faster weight
+            # streaming on the HBM-bound decode (ops/quant.py); OFF by
+            # default — bf16 is the reference-parity path
+            from fish_speech_tpu.ops.quant import quantize_lm_params
+
+            params = quantize_lm_params(params)
         self.params = params
         self.cfg = cfg
         # "auto" -> fused Pallas decode attention on single-device TPU,

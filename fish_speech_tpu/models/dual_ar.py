@@ -46,6 +46,20 @@ import jax.numpy as jnp
 from fish_speech_tpu.config import DualARConfig, TokenConfig
 from fish_speech_tpu.ops.attention import NEG_INF, gqa_attention
 from fish_speech_tpu.ops.norms import rms_norm
+from fish_speech_tpu.ops.quant import matmul as _mm
+
+
+def _layer_slice(stack: Dict[str, Any], l: int) -> Dict[str, Any]:
+    """Per-layer view of a stacked parameter dict; quantized entries are
+    {"q": (L, in, out) int8, "s": (L, 1, out)} pairs."""
+    return {
+        k: (
+            {"q": v["q"][l], "s": v["s"][l]}
+            if isinstance(v, dict)
+            else v[l]
+        )
+        for k, v in stack.items()
+    }
 from fish_speech_tpu.ops.rope import apply_rope_interleaved
 
 # A DualARParams is a nested dict:
@@ -182,7 +196,7 @@ def embed_tokens(
 
 def _project_qkv(x, lp, cfg: DualARConfig):
     b, s, _ = x.shape
-    qkv = x @ lp["wqkv"]  # (B, S, (H+2KV)*hd)
+    qkv = _mm(x, lp["wqkv"])  # (B, S, (H+2KV)*hd)
     q_sz = cfg.n_head * cfg.head_dim
     kv_sz = cfg.n_local_heads * cfg.head_dim
     q = qkv[..., :q_sz].reshape(b, s, cfg.n_head, cfg.head_dim)
@@ -228,11 +242,11 @@ def _layer_prefill(x, lp, ck, cv, cos, sin, mask, slot, offset, cfg: DualARConfi
 
     scale = 1.0 / (cfg.head_dim**0.5)
     attn = gqa_attention(q, rows_k, rows_v, mask, scale)
-    x = x + attn.transpose(0, 2, 1, 3).reshape(b, s, d) @ lp["wo"]
+    x = x + _mm(attn.transpose(0, 2, 1, 3).reshape(b, s, d), lp["wo"])
 
     h2 = rms_norm(x, lp["ffn_norm"], cfg.norm_eps)
-    gate = jax.nn.silu((h2 @ lp["w1"]).astype(jnp.float32)).astype(x.dtype)
-    x = x + (gate * (h2 @ lp["w3"])) @ lp["w2"]
+    gate = jax.nn.silu(_mm(h2, lp["w1"]).astype(jnp.float32)).astype(x.dtype)
+    x = x + _mm(gate * _mm(h2, lp["w3"]), lp["w2"])
     return x, ck, cv
 
 
@@ -389,7 +403,7 @@ def slow_decode_step(
     scale = 1.0 / (cfg.head_dim**0.5)
     d = cfg.dim
     for l in range(cfg.n_layer):
-        lp = {k: v[l] for k, v in params["slow"].items()}
+        lp = _layer_slice(params["slow"], l)
         h = rms_norm(x, lp["attention_norm"], cfg.norm_eps)
         q, k, v = _project_qkv(h, lp, cfg)  # (B, heads, 1, hd)
         q = apply_rope_interleaved(q, cos, sin)
@@ -413,10 +427,10 @@ def slow_decode_step(
             ck = ck.at[l, rows, :, pos, :].set(k.squeeze(2).astype(ck.dtype))
             cv = cv.at[l, rows, :, pos, :].set(v.squeeze(2).astype(cv.dtype))
             attn = gqa_attention(q, ck[l], cv[l], mask, scale)
-        x = x + attn.transpose(0, 2, 1, 3).reshape(b, 1, d) @ lp["wo"]
+        x = x + _mm(attn.transpose(0, 2, 1, 3).reshape(b, 1, d), lp["wo"])
         h2 = rms_norm(x, lp["ffn_norm"], cfg.norm_eps)
-        gate = jax.nn.silu((h2 @ lp["w1"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + (gate * (h2 @ lp["w3"])) @ lp["w2"]
+        gate = jax.nn.silu(_mm(h2, lp["w1"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + _mm(gate * _mm(h2, lp["w3"]), lp["w2"])
     cache = KVCache(k=ck, v=cv)
 
     hidden = x[:, 0, :]
@@ -474,7 +488,7 @@ def fast_step(
 
     new_hist = []
     for l in range(cfg.n_fast_layer):
-        lp = {k: v[l] for k, v in params["fast"].items()}
+        lp = _layer_slice(params["fast"], l)
         kh_l, vh_l = hist[l]
         b, _, d = x.shape
         h = rms_norm(x, lp["attention_norm"], cfg.norm_eps)
@@ -484,10 +498,10 @@ def fast_step(
         ks = jnp.concatenate([kh_l, k.astype(kh_l.dtype)], axis=2)
         vs = jnp.concatenate([vh_l, v.astype(vh_l.dtype)], axis=2)
         attn = gqa_attention(q, ks, vs, None, scale)
-        x = x + attn.transpose(0, 2, 1, 3).reshape(b, 1, d) @ lp["wo"]
+        x = x + _mm(attn.transpose(0, 2, 1, 3).reshape(b, 1, d), lp["wo"])
         h2 = rms_norm(x, lp["ffn_norm"], cfg.norm_eps)
-        gate = jax.nn.silu((h2 @ lp["w1"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + (gate * (h2 @ lp["w3"])) @ lp["w2"]
+        gate = jax.nn.silu(_mm(h2, lp["w1"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + _mm(gate * _mm(h2, lp["w3"]), lp["w2"])
         new_hist.append((ks, vs))
 
     fast_out = rms_norm(x[:, 0, :], params["fast_norm"], cfg.norm_eps)  # (B, D)

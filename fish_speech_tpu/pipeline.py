@@ -84,6 +84,7 @@ class TTSPipeline:
         codec_file: Optional[str | Path] = None,
         max_new_tokens: int = DEFAULT_MAX_NEW_TOKENS,
         cache_len: Optional[int] = None,
+        quantize_int8: bool = False,
     ) -> "TTSPipeline":
         """Load config.json + tokenizer.json + weights from a checkpoint
         directory (reference: server/lib/utils/load.rs:62-188)."""
@@ -105,6 +106,7 @@ class TTSPipeline:
         engine = LMEngine(
             params, cfg, token_cfg, lm,
             cache_len=cache_len, dtype=lm_dtype,
+            quantize_int8=quantize_int8,
         )
         logger.info("LM loaded in %.1fs", time.perf_counter() - t0)
 

@@ -46,6 +46,12 @@ def main() -> None:
         "--max-new-tokens", type=int, default=DEFAULT_MAX_NEW_TOKENS
     )
     parser.add_argument(
+        "--quantize-int8",
+        action="store_true",
+        help="weight-only int8 for the LM matmul stacks (~1.4x decode "
+        "throughput; bf16 is the reference-parity default)",
+    )
+    parser.add_argument(
         "--warmup",
         action="store_true",
         help="pre-compile prefill buckets and the decode loop at startup",
@@ -68,6 +74,7 @@ def main() -> None:
         lm_dtype=jnp.bfloat16,
         codec_dtype=jnp.float32,  # server loads codec f32 (load.rs:161-164)
         max_new_tokens=args.max_new_tokens,
+        quantize_int8=args.quantize_int8,
     )
     rep_pen = (
         args.rep_pen
