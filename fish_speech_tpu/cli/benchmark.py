@@ -61,6 +61,10 @@ def _load_random_pipeline():
     )
     codec_cfg = FireflyConfig.for_version(FishVersion.V1_5)
     params = init_dual_ar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    # zero the im_end head column so untrained-weight generations never
+    # terminate early: with the runaway reroll disabled below, every run
+    # decodes exactly max_new_tokens frames — deterministic wall-clock
+    params["output"] = params["output"].at[:, tok.im_end_id].multiply(0.0)
     codec_params = init_firefly_params(
         jax.random.PRNGKey(1), codec_cfg, jnp.float32
     )
@@ -104,7 +108,9 @@ def _load_random_pipeline():
                     i = j
             return self._Enc(ids)
 
-    return TTSPipeline(engine, codec, _HashTokenizer(), WhichLM.FISH_1_5)
+    pipe = TTSPipeline(engine, codec, _HashTokenizer(), WhichLM.FISH_1_5)
+    pipe.reroll_on_runaway = False  # fixed-length benchmark generations
+    return pipe
 
 
 def main() -> None:
@@ -157,6 +163,12 @@ def main() -> None:
     except RuntimeError:
         pass
     log(f"warmup: {time.perf_counter() - t0:.1f}s")
+
+    # warm the batched path too so scenario timings exclude compiles
+    try:
+        pipeline.synthesize_batched(args.text, 4, **kwargs)
+    except RuntimeError:
+        pass
 
     # scenario 1: unbatched request (reference: benchmark.rs single case)
     run("unbatched", lambda: pipeline.synthesize(args.text, **kwargs))

@@ -65,6 +65,9 @@ class TTSPipeline:
         self.tokenizer = tokenizer
         self.lm = lm
         self.max_new_tokens = max_new_tokens
+        # runaway policy (reference: handlers/speech.rs:41-61); benchmarks
+        # on untrained weights disable it to get fixed-length generations
+        self.reroll_on_runaway = True
         self.default_sampling = default_sampling or SamplingArgs(
             repetition_penalty=default_rep_pen(lm)
         )
@@ -174,7 +177,7 @@ class TTSPipeline:
                 state=state,
                 conditioning_offset=offset,
             )
-            if result.hit_max:
+            if result.hit_max and self.reroll_on_runaway:
                 logger.warning("Suspected runaway generation; rerolling once")
                 state = self.engine.rewind(state, offset)
                 result, state = self.engine.generate(
