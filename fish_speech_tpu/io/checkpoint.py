@@ -52,22 +52,63 @@ def _merge_weight_norm(raw: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+_SAFETENSORS_DTYPES = {
+    "F64": np.float64,
+    "F32": np.float32,
+    "F16": np.float16,
+    "I64": np.int64,
+    "I32": np.int32,
+    "I16": np.int16,
+    "I8": np.int8,
+    "U8": np.uint8,
+    "U32": np.uint32,
+    "U64": np.uint64,
+    "BOOL": np.bool_,
+}
+
+
+def _load_safetensors_mmap(path: Path) -> Dict[str, np.ndarray]:
+    """Zero-copy safetensors reader: mmap the file and view each tensor's
+    byte range directly — including BF16 via ml_dtypes (numpy has no
+    native bfloat16, and Fish 1.5's flagship model.safetensors IS bf16).
+    Torch-free by design, matching the reference's mmap'd VarBuilder load
+    (reference: server/lib/utils/load.rs:93-98).
+
+    Format: u64-LE header length, JSON header {name: {dtype, shape,
+    data_offsets}}, raw little-endian tensor data.
+    """
+    import json
+    import mmap
+
+    import ml_dtypes
+
+    dtypes = dict(_SAFETENSORS_DTYPES, BF16=ml_dtypes.bfloat16)
+    with open(path, "rb") as f:
+        header_len = int.from_bytes(f.read(8), "little")
+        header = json.loads(f.read(header_len))
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    base = 8 + header_len
+    out: Dict[str, np.ndarray] = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        dt = np.dtype(dtypes[meta["dtype"]])
+        begin, end = meta["data_offsets"]
+        count = (end - begin) // dt.itemsize
+        out[name] = np.frombuffer(
+            mm, dtype=dt, count=count, offset=base + begin
+        ).reshape(meta["shape"])
+    return out
+
+
 def load_raw_checkpoint(path: str | Path) -> Dict[str, np.ndarray]:
-    """Read one safetensors or torch .pth file into {name: np.ndarray}."""
+    """Read one safetensors or torch .pth file into {name: np.ndarray}.
+
+    safetensors (incl. bf16) load torch-free via mmap; torch is required
+    only for .pth pickles (Fish 1.2)."""
     path = Path(path)
     if path.suffix == ".safetensors":
-        from safetensors.numpy import load_file
-
-        try:
-            return dict(load_file(str(path)))
-        except Exception:
-            # bf16 safetensors aren't numpy-native; go through torch
-            from safetensors.torch import load_file as load_torch
-
-            return {
-                k: v.to(dtype=__import__("torch").float32).numpy()
-                for k, v in load_torch(str(path)).items()
-            }
+        return _load_safetensors_mmap(path)
     # torch pickle (.pth / .pt / .bin)
     import torch
 

@@ -98,6 +98,58 @@ class TestLMLoading:
         assert np.isfinite(np.asarray(logits)).all()
 
 
+class TestBF16Safetensors:
+    """Fish 1.5's flagship model.safetensors is bf16; it must load with
+    base deps only (reference mmaps it natively, load.rs:93-98)."""
+
+    def _save_bf16(self, sd, path):
+        import torch
+        from safetensors.torch import save_file as save_torch
+
+        save_torch(
+            {k: torch.from_numpy(v).to(torch.bfloat16) for k, v in sd.items()},
+            str(path),
+        )
+
+    def test_bf16_loads_without_torch(self, tmp_path, monkeypatch):
+        import jax.numpy as jnp
+        import ml_dtypes
+
+        sd = make_lm_state_dict(CFG, np.random.default_rng(4))
+        self._save_bf16(sd, tmp_path / "model.safetensors")
+
+        # Block `import torch` for the duration of the load: a None entry
+        # in sys.modules makes the import raise ImportError.
+        import sys
+
+        monkeypatch.setitem(sys.modules, "torch", None)
+        raw = load_raw_checkpoint(tmp_path / "model.safetensors")
+        assert raw["embeddings.weight"].dtype == ml_dtypes.bfloat16
+        params = load_lm_params(tmp_path, CFG, dtype=jnp.bfloat16)
+        assert params["embeddings"].dtype == jnp.bfloat16
+        # values survive the f32 -> bf16 -> load chain (bf16 rounding only)
+        np.testing.assert_allclose(
+            np.asarray(params["embeddings"], np.float32),
+            sd["embeddings.weight"],
+            rtol=1e-2,
+            atol=1e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(params["slow"]["wqkv"][0], np.float32),
+            sd["layers.0.attention.wqkv.weight"].T,
+            rtol=1e-2,
+            atol=1e-2,
+        )
+
+    def test_f32_values_exact(self, tmp_path):
+        """The mmap reader must be byte-exact for f32 files."""
+        sd = make_lm_state_dict(CFG, np.random.default_rng(5))
+        save_file(sd, str(tmp_path / "model.safetensors"))
+        raw = load_raw_checkpoint(tmp_path / "model.safetensors")
+        for k, v in sd.items():
+            np.testing.assert_array_equal(raw[k], v)
+
+
 class TestWeightNorm:
     def test_merge_matches_torch(self):
         import torch
