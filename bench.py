@@ -105,6 +105,12 @@ def main() -> None:
         lambda: init_dual_ar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16),
         seed=0,
     )
+    # Zero the im_end head column so random-weight generations never
+    # terminate early (same trick as cli/benchmark.py): every trial then
+    # decodes exactly n_frames, and RTF is wall-clock over audio actually
+    # generated — early EOS would otherwise understate RTF by timing a
+    # short generation while crediting padded-length audio.
+    params["output"] = params["output"].at[:, tok.im_end_id].multiply(0.0)
     jax.block_until_ready(params)
     codec_params = fast_device_init(
         lambda: init_firefly_params(jax.random.PRNGKey(1), codec_cfg, jnp.float32),
@@ -154,10 +160,11 @@ def main() -> None:
         lm_s = time.perf_counter() - t0
         frames = res.frames
         codes = res.tokens
-        if codes.shape[1] < n_frames - 1:
-            pad = rng.integers(0, 1000, size=(cfg.num_codebooks, n_frames - 1))
-            pad[:, : codes.shape[1]] = codes
-            codes, frames = pad, n_frames - 1
+        # im_end column is zeroed, so every trial runs the full length;
+        # audio_seconds below is computed from frames ACTUALLY generated.
+        assert frames >= n_frames - 1, (
+            f"trial {trial} terminated early at {frames} frames"
+        )
         t1 = time.perf_counter()
         audio = codec.decode(np.ascontiguousarray(codes))
         voc_s = time.perf_counter() - t1
