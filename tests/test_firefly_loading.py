@@ -16,15 +16,17 @@ from fish_speech_tpu.models.codec.firefly import FireflyCodec, init_firefly_para
 from tests.test_server import CODEC_CFG, NUM_CODEBOOKS
 
 
-def firefly_params_to_state_dict(params, cfg):
-    """Inverse of load_firefly_params for Fish 1.4+ naming."""
+def firefly_params_to_state_dict(params, cfg, fish_infix="conv."):
+    """Inverse of load_firefly_params. Fish 1.4+ wraps every Fish conv in a
+    `conv.` prefix; Fish 1.2 uses bare names (reference:
+    codec/utils/mod.rs:28-39) — pass fish_infix="" for 1.2 naming."""
     sd = {}
 
     def a(x):
         return np.ascontiguousarray(np.asarray(x, np.float32))
 
     def put_conv(name, p, fish=True):
-        pre = f"{name}.conv" if fish else name
+        pre = f"{name}.{fish_infix}".rstrip(".") if fish else name
         sd[f"{pre}.weight"] = a(p["w"])
         sd[f"{pre}.bias"] = a(p["b"])
 
