@@ -66,39 +66,14 @@ def main() -> None:
     codec_cfg = FireflyConfig.for_version(FishVersion.V1_5)
     frame_rate = codec_cfg.frame_rate  # 21.533 Hz
 
-    def fast_device_init(init_fn, seed):
-        """Device-side random init shaped like init_fn's output, built from
-        ONE flat jax.random.normal + static slices.
-
-        Why not just jit init_fn: its ~100 independent threefry calls
-        compile for minutes on the TPU toolchain and serialize the remote
-        compile pool, starving the engine compiles queued behind them. Why
-        not init on CPU and device_put: host->device of ~1 GB through the
-        device tunnel takes minutes. One RNG op + reshapes compiles in
-        seconds and never leaves the device. Benchmark-only: real use
-        loads checkpoints (io/checkpoint.py).
-        """
-        shapes = jax.eval_shape(init_fn)
-        leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
-
-        def build(key):
-            total = sum(int(np.prod(l.shape)) for _, l in leaves)
-            flat = jax.random.normal(key, (total,), jnp.float32)
-            out, off = [], 0
-            for path, l in leaves:
-                n = int(np.prod(l.shape))
-                name = jax.tree_util.keystr(path)
-                if "norm" in name:
-                    x = jnp.ones(l.shape, jnp.float32)
-                else:
-                    x = flat[off : off + n].reshape(l.shape) * 0.02
-                off += n
-                out.append(x.astype(l.dtype))
-            return jax.tree_util.tree_unflatten(
-                treedef, [x for x in out]
-            )
-
-        return jax.jit(build)(jax.random.PRNGKey(seed))
+    # Device-side random init from ONE flat jax.random.normal + static
+    # slices. Why not just jit init_fn: its ~100 independent threefry
+    # calls compile for minutes on the TPU toolchain and serialize the
+    # remote compile pool, starving the engine compiles queued behind
+    # them. Why not init on CPU and device_put: host->device of ~1 GB
+    # through the device tunnel takes minutes. Benchmark-only: real use
+    # loads checkpoints (io/checkpoint.py).
+    fast_device_init = _make_fast_device_init(jax, jnp)
 
     t0 = time.perf_counter()
     params = fast_device_init(
@@ -191,6 +166,174 @@ def main() -> None:
     )
 
 
+def bench_continuous(rows: int = 16) -> None:
+    """BASELINE configs[4]: N concurrent requests through the continuous
+    batcher, measured end-to-end (LM decode batched across requests +
+    per-request vocode in the caller's thread), real chip.
+
+    Prints per-request RTF (p50/max) and aggregate throughput. The
+    reference serializes requests behind a mutex (state.rs:13), so its
+    aggregate throughput equals single-stream; here rows share the decode
+    program and the scheduler is pipelined (chunk N+1 dispatched before
+    chunk N is drained)."""
+    import os
+    import threading
+
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "cpu" not in plat.split(","):
+        os.environ["JAX_PLATFORMS"] = plat + ",cpu"
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_fishtpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+
+    from fish_speech_tpu.config import (
+        DualARConfig,
+        FireflyConfig,
+        FishVersion,
+        TokenConfig,
+        WhichLM,
+    )
+    from fish_speech_tpu.generate.continuous import ContinuousBatcher
+    from fish_speech_tpu.generate.engine import LMEngine
+    from fish_speech_tpu.models.codec.firefly import (
+        FireflyCodec,
+        init_firefly_params,
+    )
+    from fish_speech_tpu.models.dual_ar import init_dual_ar_params
+    from fish_speech_tpu.ops.sampling import (
+        BATCHED_REP_PEN_WINDOW,
+        SamplingArgs,
+    )
+
+    # reuse main()'s init helpers by re-entering its setup inline
+    cfg = DualARConfig.fish_speech_1_5()
+    tok = TokenConfig(
+        im_end_id=100011,
+        pad_id=5,
+        semantic_start_id=100012,
+        semantic_end_id=100012 + cfg.codebook_size - 1,
+    )
+    codec_cfg = FireflyConfig.for_version(FishVersion.V1_5)
+    frame_rate = codec_cfg.frame_rate
+
+    _fast_init = _make_fast_device_init(jax, jnp)
+    params = _fast_init(
+        lambda: init_dual_ar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16),
+        seed=0,
+    )
+    params["output"] = params["output"].at[:, tok.im_end_id].multiply(0.0)
+    jax.block_until_ready(params)
+    codec_params = _fast_init(
+        lambda: init_firefly_params(jax.random.PRNGKey(1), codec_cfg, jnp.float32),
+        seed=1,
+    )
+    jax.block_until_ready(codec_params)
+
+    n_frames = 128  # ~5.9 s of audio per request
+    engine = LMEngine(
+        params, cfg, tok, WhichLM.FISH_1_5,
+        batch_size=rows, cache_len=512, max_frames=n_frames,
+        rep_pen_window=BATCHED_REP_PEN_WINDOW,
+        dtype=jnp.bfloat16, prompt_buckets=(64,),
+    )
+    codec = FireflyCodec(codec_params, codec_cfg, buckets=(n_frames,))
+    sampling = SamplingArgs(temp=0.7, top_p=0.8, top_k=256, repetition_penalty=1.4)
+
+    rng = np.random.default_rng(0)
+
+    def make_prompt():
+        return np.concatenate(
+            [
+                rng.integers(1000, 90000, size=(1, 40)),
+                np.zeros((cfg.num_codebooks, 40), np.int64),
+            ],
+            axis=0,
+        ).astype(np.int32)
+
+    batcher = ContinuousBatcher(engine, sampling, horizon=16)
+
+    def run_request(i, out, t_start):
+        t0 = time.perf_counter()
+        req = batcher.submit([make_prompt()], cond_len=0, max_new=n_frames)
+        frames = 0
+        audio_s = 0.0
+        for chunk in req:
+            codes = np.ascontiguousarray(chunk.tokens)
+            pcm = codec.decode(codes)[0]  # vocode off the scheduler thread
+            frames += codes.shape[1]
+            audio_s += pcm.shape[-1] / codec.sample_rate
+        wall = time.perf_counter() - t0
+        out[i] = (wall, frames, audio_s)
+
+    def run_wave(n, label):
+        out = [None] * n
+        t0 = time.perf_counter()
+        threads = [
+            threading.Thread(target=run_request, args=(i, out, t0))
+            for i in range(n)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        rtfs = sorted(w / a for w, _, a in out)
+        total_frames = sum(f for _, f, _ in out)
+        total_audio = sum(a for _, _, a in out)
+        log(
+            f"{label}: {n} reqs in {wall:.2f}s wall | per-req RTF "
+            f"p50 {rtfs[n // 2]:.3f} max {rtfs[-1]:.3f} | "
+            f"aggregate {total_frames / wall:.1f} frames/s, "
+            f"{total_audio / wall:.2f}x realtime"
+        )
+        return rtfs[n // 2], total_audio / wall
+
+    log("warmup (compiles prefill_row, decode chunk, vocoder)...")
+    run_wave(rows, "warmup")
+    p50_rtf, agg = run_wave(rows, "measured")
+    batcher.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": f"continuous_{rows}way_per_request_rtf_p50",
+                "value": round(p50_rtf, 4),
+                "unit": "ratio_lower_is_better",
+                "vs_baseline": round(1.0 / p50_rtf, 3),
+                "aggregate_x_realtime": round(agg, 2),
+            }
+        )
+    )
+
+
+def _make_fast_device_init(jax, jnp):
+    """Shared device-side random init (see main() docstring)."""
+
+    def fast_device_init(init_fn, seed):
+        shapes = jax.eval_shape(init_fn)
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+
+        def build(key):
+            total = sum(int(np.prod(l.shape)) for _, l in leaves)
+            flat = jax.random.normal(key, (total,), jnp.float32)
+            out, off = [], 0
+            for path, l in leaves:
+                n = int(np.prod(l.shape))
+                name = jax.tree_util.keystr(path)
+                if "norm" in name:
+                    x = jnp.ones(l.shape, jnp.float32)
+                else:
+                    x = flat[off : off + n].reshape(l.shape) * 0.02
+                off += n
+                out.append(x.astype(l.dtype))
+            return jax.tree_util.tree_unflatten(treedef, [x for x in out])
+
+        return jax.jit(build)(jax.random.PRNGKey(seed))
+
+    return fast_device_init
+
+
 def verify_pallas() -> None:
     """Numeric check of the Pallas fused decode attention against the XLA
     lowering ON THE CURRENT BACKEND (run on TPU to validate the compiled
@@ -262,5 +405,9 @@ def verify_pallas() -> None:
 if __name__ == "__main__":
     if "--verify" in sys.argv:
         verify_pallas()
+    elif "--continuous" in sys.argv:
+        i = sys.argv.index("--continuous")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 16
+        bench_continuous(n)
     else:
         main()

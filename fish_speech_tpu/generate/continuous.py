@@ -15,6 +15,19 @@ granularity without padding or recompiles. Conditioning-prefix reuse
 works per row exactly like the single-stream path (the row's position
 counter rewinds to its conditioning length between text chunks).
 
+The scheduler is PIPELINED: JAX dispatch is asynchronous, so each tick
+dispatches decode chunk N+1 (and any admission prefills) onto the device
+queue BEFORE blocking on chunk N's outputs. The device is never idle
+waiting for the host to unpack frames or cross the device tunnel — the
+host processes chunk N while the chip computes chunk N+1. Rows that
+finish in chunk N keep decoding speculatively for one extra horizon in
+the already-dispatched chunk N+1; a per-row epoch counter (bumped on
+every admission/finish) tags each dispatch so stale speculative frames
+are discarded on the host. Speculative decode past a finished row is
+harmless device-side: EOS rows are masked invalid by the decode loop
+itself, and budget-finished rows get their position counter rewound by
+the next admission's prefill.
+
 Sampling parameters are fixed per batcher (they're compiled into the
 decode program); per-request seeds are not supported in batched mode
 (rows share one RNG stream — same as the reference's fixed-seed static
@@ -31,6 +44,7 @@ import threading
 from typing import List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from fish_speech_tpu.generate.engine import GenState, LMEngine
@@ -77,6 +91,31 @@ class _RowState:
         self.active = False  # row currently decoding a chunk
 
 
+@dataclasses.dataclass
+class _Admit:
+    """One admission prefill dispatched this tick; its first frame / EOS
+    flag are still device futures, resolved with the tick's fetch."""
+
+    slot: _RowState
+    epoch: int
+    frame: jax.Array  # (C+1,) future
+    is_eos: jax.Array  # () bool future
+
+
+@dataclasses.dataclass
+class _Inflight:
+    """One dispatched tick: admissions plus (optionally) a decode chunk
+    whose outputs are futures the host hasn't blocked on yet."""
+
+    admits: List[_Admit]
+    # (slot, epoch) per row that was live when the chunk was dispatched
+    snapshot: List[tuple]
+    out: Optional[jax.Array] = None  # (horizon, B, C+1)
+    valid: Optional[jax.Array] = None  # (horizon, B)
+    done: Optional[jax.Array] = None  # (B,) post-chunk
+    steps: Optional[jax.Array] = None
+
+
 class ContinuousBatcher:
     def __init__(
         self,
@@ -98,6 +137,9 @@ class ContinuousBatcher:
             done=self.state.done.at[:].set(True)
         )
         self.rows: List[Optional[_RowState]] = [None] * engine.batch_size
+        # bumped on every admission/finish of the row; tags dispatches so
+        # speculative frames from a superseded chunk are discarded
+        self.epoch = [0] * engine.batch_size
         self.queue: "queue.Queue[BatchedRequest]" = queue.Queue()
         self._wake = threading.Event()
         self._stop = False
@@ -121,12 +163,15 @@ class ContinuousBatcher:
 
     # -- scheduler ---------------------------------------------------------
 
-    def _admit(self) -> None:
-        """Fill free rows: new requests first, then next chunks of rows
-        whose previous chunk just finished (those keep their row)."""
-        for r, slot in enumerate(self.rows):
+    def _admit(self) -> List[_Admit]:
+        """Fill free rows: next chunks of rows whose previous chunk just
+        finished first (those keep their row), then new requests. Prefills
+        are DISPATCHED here (async); their first frames are resolved when
+        this tick's in-flight entry is processed."""
+        admits: List[_Admit] = []
+        for slot in self.rows:
             if slot is not None and not slot.active:
-                self._start_chunk(slot)
+                admits.append(self._start_chunk(slot))
         for r in range(len(self.rows)):
             if self.rows[r] is None:
                 try:
@@ -135,9 +180,10 @@ class ContinuousBatcher:
                     break
                 slot = _RowState(req, r)
                 self.rows[r] = slot
-                self._start_chunk(slot)
+                admits.append(self._start_chunk(slot))
+        return admits
 
-    def _start_chunk(self, slot: _RowState) -> None:
+    def _start_chunk(self, slot: _RowState) -> _Admit:
         req = slot.req
         slot.chunk_idx += 1
         prompt = req.prompts[slot.chunk_idx]
@@ -147,15 +193,15 @@ class ContinuousBatcher:
         self.state, frame, is_eos = self.engine.prefill_row(
             self.state, prompt, self.sampling, slot.row, offset=offset
         )
-        slot.frames = [np.asarray(frame)]
+        slot.frames = []
         budget = min(
             req.max_new - 1,
             self.engine.cache_len - (offset + prompt.shape[-1]) - 1,
         )
         slot.budget = max(budget, 0)
         slot.active = True
-        if bool(is_eos) or slot.budget == 0:
-            self._finish_chunk(slot, hit_max=False)
+        self.epoch[slot.row] += 1
+        return _Admit(slot, self.epoch[slot.row], frame, is_eos)
 
     def _finish_chunk(self, slot: _RowState, hit_max: bool) -> None:
         stacked = np.stack(slot.frames, axis=1)  # (C+1, T)
@@ -166,7 +212,10 @@ class ContinuousBatcher:
         )
         slot.active = False
         slot.frames = []
-        # silence the row on device until its next admission
+        self.epoch[slot.row] += 1
+        # silence the row on device until its next admission (applies to
+        # the LATEST state future; an already-dispatched chunk may still
+        # decode this row speculatively — those frames are epoch-stale)
         self.state = self.state._replace(
             done=self.state.done.at[slot.row].set(True)
         )
@@ -177,47 +226,92 @@ class ContinuousBatcher:
     def _any_active(self) -> bool:
         return any(s is not None and s.active for s in self.rows)
 
+    def _dispatch(self) -> Optional[_Inflight]:
+        """One tick's device work: admissions + one decode chunk, all
+        asynchronous. Returns None when there is nothing to run."""
+        admits = self._admit()
+        if not self._any_active():
+            return _Inflight(admits, []) if admits else None
+        snapshot = [
+            (slot, self.epoch[slot.row])
+            for slot in self.rows
+            if slot is not None and slot.active
+        ]
+        self.state, out, valid, steps = self.engine.decode_chunk(
+            self.state, self.sampling, self.horizon
+        )
+        # copy: state.done itself gets donated to the NEXT dispatch before
+        # this flight is fetched
+        return _Inflight(
+            admits, snapshot, out=out, valid=valid,
+            done=jnp.copy(self.state.done), steps=steps,
+        )
+
+    def _process(self, flight: _Inflight) -> None:
+        """Block on one in-flight tick's outputs and hand frames to their
+        requests. Runs while the NEXT tick computes on device."""
+        fetch = [a.frame for a in flight.admits] + [
+            a.is_eos for a in flight.admits
+        ]
+        if flight.out is not None:
+            fetch += [flight.out, flight.valid, flight.done, flight.steps]
+        fetched = jax.device_get(fetch)
+        n = len(flight.admits)
+        frames, eoses = fetched[:n], fetched[n : 2 * n]
+        # admission first frames precede the chunk's frames in time
+        for admit, frame, is_eos in zip(flight.admits, frames, eoses):
+            slot = admit.slot
+            if self.epoch[slot.row] != admit.epoch or not slot.active:
+                continue  # superseded (shouldn't happen for admissions)
+            slot.frames.append(np.asarray(frame))
+            if bool(is_eos) or slot.budget == 0:
+                self._finish_chunk(slot, hit_max=False)
+        if flight.out is None:
+            return
+        out, valid, done, steps = fetched[2 * n :]
+        steps = int(steps)
+        for slot, epoch in flight.snapshot:
+            if not slot.active or self.epoch[slot.row] != epoch:
+                continue  # row finished before this chunk was processed
+            r = slot.row
+            ended = False
+            for i in range(steps):
+                if valid[i, r]:
+                    slot.frames.append(out[i, r])
+                    slot.budget -= 1
+                    if slot.budget <= 0:
+                        self._finish_chunk(slot, hit_max=not done[r])
+                        ended = True
+                        break
+                else:
+                    # first invalid frame of a live row is its EOS
+                    self._finish_chunk(slot, hit_max=False)
+                    ended = True
+                    break
+            if not ended and done[r]:
+                self._finish_chunk(slot, hit_max=False)
+
     def _run(self) -> None:
-        im_end = self.engine.token_cfg.im_end_id
+        pending: Optional[_Inflight] = None
         try:
             while not self._stop:
                 idle = (
                     all(s is None for s in self.rows) and self.queue.empty()
                 )
-                if idle:
+                if idle and pending is None:
                     self._wake.wait(timeout=0.1)
                     self._wake.clear()
                     continue
-                self._admit()
-                if not self._any_active():
+                # dispatch tick N+1 before blocking on tick N: the chip
+                # computes the next horizon while the host unpacks this one
+                flight = self._dispatch()
+                if pending is not None:
+                    self._process(pending)
+                pending = flight
+                if pending is None and not self._any_active():
                     continue
-                self.state, out, valid, steps = self.engine.decode_chunk(
-                    self.state, self.sampling, self.horizon
-                )
-                out, valid, done, steps = jax.device_get(
-                    (out, valid, self.state.done, steps)
-                )
-                steps = int(steps)
-                for slot in list(self.rows):
-                    if slot is None or not slot.active:
-                        continue
-                    r = slot.row
-                    ended = False
-                    for i in range(steps):
-                        if valid[i, r]:
-                            slot.frames.append(out[i, r])
-                            slot.budget -= 1
-                            if slot.budget <= 0:
-                                self._finish_chunk(slot, hit_max=not done[r])
-                                ended = True
-                                break
-                        else:
-                            # first invalid frame of a live row is its EOS
-                            self._finish_chunk(slot, hit_max=False)
-                            ended = True
-                            break
-                    if not ended and done[r]:
-                        self._finish_chunk(slot, hit_max=False)
+            if pending is not None:
+                self._process(pending)
         except Exception as e:  # noqa: BLE001 — propagate to waiting clients
             logger.exception("continuous batcher died")
             for slot in self.rows:
