@@ -134,18 +134,11 @@ def mimi_conv1d(
     return out
 
 
-def mimi_conv_transpose1d(
-    x: jnp.ndarray,
-    w: jnp.ndarray,
-    b: Optional[jnp.ndarray],
-    stride: int,
-    groups: int = 1,
-    trim_right_ratio: float = 1.0,
+def _conv_transpose_raw(
+    x: jnp.ndarray, w: jnp.ndarray, stride: int, groups: int = 1
 ) -> jnp.ndarray:
-    """Causal ConvTranspose1d: full transposed conv, then trim
-    ceil((K - stride) * trim_right_ratio) from the right and the rest
-    from the left. w: (C_in, C_out/groups, K) torch layout.
-    """
+    """Full (untrimmed, bias-free) transposed conv, torch semantics.
+    x: (B, C_in, T); w: (C_in, C_out/groups, K) -> (B, C_out, (T-1)*s+K)."""
     k = w.shape[-1]
     if groups > 1:
         # grouped transposed conv: torch weight (C_in, C_out/groups, K).
@@ -188,6 +181,23 @@ def mimi_conv_transpose1d(
             dimension_numbers=("NCH", "OIH", "NCH"),
             transpose_kernel=True,
         )
+    return out
+
+
+def mimi_conv_transpose1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray],
+    stride: int,
+    groups: int = 1,
+    trim_right_ratio: float = 1.0,
+) -> jnp.ndarray:
+    """Causal ConvTranspose1d: full transposed conv, then trim
+    ceil((K - stride) * trim_right_ratio) from the right and the rest
+    from the left. w: (C_in, C_out/groups, K) torch layout.
+    """
+    k = w.shape[-1]
+    out = _conv_transpose_raw(x, w, stride, groups)
     if b is not None:
         out = out + b[None, :, None]
     pad_total = k - stride
@@ -249,6 +259,260 @@ def seanet_decode(x: jnp.ndarray, params: Dict, cfg: MimiConfig) -> jnp.ndarray:
     x = jax.nn.elu(x)
     x = mimi_conv1d(x, layers[i]["w"], layers[i]["b"])
     return x
+
+
+# --------------------------------------------------------------------------
+# Streaming decode (reference: server/lib/audio/mimi.rs:52-88
+# decode_step/reset_state). Every op in the decode path is causal, so a
+# chunked decode with carried state equals the batch decode exactly:
+#   * causal convs carry their left-context samples,
+#   * transposed convs carry a bias-free overlap-add tail,
+#   * the transformer carries a sliding-window KV ring cache.
+# --------------------------------------------------------------------------
+
+
+def _stream_conv1d(x, w, b, state, stride: int = 1, dilation: int = 1):
+    """Streaming causal conv: `state` holds the previous pad_left input
+    samples (zeros initially == the batch path's left zero-pad). Chunk
+    length must be a multiple of `stride` so no right pad is needed."""
+    k_eff = (w.shape[-1] - 1) * dilation + 1
+    pad_left = k_eff - stride
+    if pad_left:
+        xin = jnp.concatenate([state, x], axis=-1)
+        new_state = xin[..., xin.shape[-1] - pad_left :]
+    else:
+        xin, new_state = x, state
+    out = jax.lax.conv_general_dilated(
+        xin,
+        w,
+        window_strides=(stride,),
+        padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    if b is not None:
+        out = out + b[None, :, None]
+    return out, new_state
+
+
+def _stream_conv_transpose1d(x, w, b, state, stride: int, groups: int = 1):
+    """Streaming causal transposed conv (trim_right_ratio == 1): overlap-add
+    the carried (bias-free) tail onto this chunk's head, emit T*stride
+    samples, carry the new K-stride tail."""
+    k = w.shape[-1]
+    out = _conv_transpose_raw(x, w, stride, groups)  # (B, C, T*s + k - s)
+    tail = k - stride
+    if tail:
+        out = out.at[..., :tail].add(state)
+        new_state = out[..., out.shape[-1] - tail :]
+        out = out[..., : out.shape[-1] - tail]
+    else:
+        new_state = state
+    if b is not None:
+        out = out + b[None, :, None]
+    return out, new_state
+
+
+def _stream_resnet_block(x, p, dilation: int, state):
+    h = jax.nn.elu(x)
+    h, s1 = _stream_conv1d(
+        h, p["block.1.w"], p["block.1.b"], state[0], dilation=dilation
+    )
+    h = jax.nn.elu(h)
+    h, s2 = _stream_conv1d(h, p["block.3.w"], p["block.3.b"], state[1])
+    return x + h, (s1, s2)
+
+
+def _conv_state(batch, c_in, k, stride=1, dilation=1, dtype=jnp.float32):
+    pad_left = (k - 1) * dilation + 1 - stride
+    return jnp.zeros((batch, c_in, pad_left), dtype)
+
+
+def seanet_decode_stream_init(params: Dict, cfg: MimiConfig, batch: int):
+    """Zero-initialized carried state for seanet_decode, in layer order."""
+    layers = params["layers"]
+    states = [_conv_state(batch, layers[0]["w"].shape[1], layers[0]["w"].shape[-1])]
+    i = 1
+    for ratio in cfg.upsampling_ratios:
+        w = layers[i]["w"]  # transpose: (C_in, C_out, K)
+        states.append(jnp.zeros((batch, w.shape[1], w.shape[-1] - ratio)))
+        i += 1
+        for j in range(cfg.num_residual_layers):
+            lp = layers[i]
+            d = cfg.dilation_growth_rate**j
+            states.append(
+                (
+                    _conv_state(
+                        batch, lp["block.1.w"].shape[1], lp["block.1.w"].shape[-1],
+                        dilation=d,
+                    ),
+                    _conv_state(batch, lp["block.3.w"].shape[1], 1),
+                )
+            )
+            i += 1
+    states.append(
+        _conv_state(batch, layers[i]["w"].shape[1], layers[i]["w"].shape[-1])
+    )
+    return states
+
+
+def seanet_decode_stream(x, params: Dict, cfg: MimiConfig, states):
+    """Streaming twin of seanet_decode: same layer walk, carried state."""
+    layers = params["layers"]
+    new_states = []
+    x, s = _stream_conv1d(x, layers[0]["w"], layers[0]["b"], states[0])
+    new_states.append(s)
+    i, si = 1, 1
+    for ratio in cfg.upsampling_ratios:
+        x = jax.nn.elu(x)
+        x, s = _stream_conv_transpose1d(
+            x, layers[i]["w"], layers[i]["b"], states[si], stride=ratio
+        )
+        new_states.append(s)
+        i += 1
+        si += 1
+        for j in range(cfg.num_residual_layers):
+            x, s = _stream_resnet_block(
+                x, layers[i], cfg.dilation_growth_rate**j, states[si]
+            )
+            new_states.append(s)
+            i += 1
+            si += 1
+    x = jax.nn.elu(x)
+    x, s = _stream_conv1d(x, layers[i]["w"], layers[i]["b"], states[si])
+    new_states.append(s)
+    return x, new_states
+
+
+def transformer_stream_init(cfg: MimiConfig, batch: int, max_step: int = 64):
+    """Sliding-window KV ring cache. The ring is oversized by `max_step`
+    slots: with exactly W slots, a chunk of t>1 positions would overwrite
+    entries still inside the window of the chunk's EARLIER queries (slot
+    p%W is reused by p+W, and p+W's write lands before query p+W-t+1 has
+    attended to p). W+max_step slots guarantee an entry is only recycled
+    once every in-chunk query has moved past its window."""
+    w, kvh, hd = cfg.sliding_window, cfg.num_key_value_heads, cfg.head_dim
+    ring = w + max_step
+    layers = [
+        {
+            "k": jnp.zeros((batch, kvh, ring, hd)),
+            "v": jnp.zeros((batch, kvh, ring, hd)),
+        }
+        for _ in range(cfg.num_hidden_layers)
+    ]
+    return {
+        "layers": layers,
+        "slot_pos": jnp.full((ring,), -1, jnp.int32),  # abs position per slot
+        "pos": jnp.zeros((), jnp.int32),  # next absolute position
+    }
+
+
+def mimi_transformer_step(x, params: Dict, cfg: MimiConfig, cache):
+    """(B, t, D) new positions against the ring cache; t must be <= the
+    ring's max_step oversize (see transformer_stream_init)."""
+    b, t, d = x.shape
+    h, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    w = cfg.sliding_window
+    ring = cache["slot_pos"].shape[0]
+    pos0 = cache["pos"]
+    q_abs = pos0 + jnp.arange(t)  # (t,)
+    slots = q_abs % ring
+
+    inv = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+    )
+    freqs = q_abs.astype(jnp.float32)[:, None] * inv[None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    cos, sin = jnp.cos(emb)[None, None], jnp.sin(emb)[None, None]
+
+    slot_pos = cache["slot_pos"].at[slots].set(q_abs)
+    # causal + sliding window over ring slots, shared across layers
+    valid = (
+        (slot_pos[None, :] >= 0)
+        & (slot_pos[None, :] <= q_abs[:, None])
+        & (q_abs[:, None] - slot_pos[None, :] < w)
+    )
+    mask = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)[None, None]
+
+    scale = 1.0 / math.sqrt(hd)
+    new_layers = []
+    for lp, lcache in zip(params["layers"], cache["layers"]):
+        hin = _layer_norm(x, lp["ln1.w"], lp["ln1.b"], cfg.norm_eps)
+        q = (hin @ lp["q.w"].T).reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        k = (hin @ lp["k.w"].T).reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
+        v = (hin @ lp["v.w"].T).reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
+        q = _rope_rotate_half(q, cos, sin)
+        k = _rope_rotate_half(k, cos, sin)  # rotated keys cached (absolute RoPE)
+        kc = lcache["k"].at[:, :, slots, :].set(k)
+        vc = lcache["v"].at[:, :, slots, :].set(v)
+        new_layers.append({"k": kc, "v": vc})
+        ku, vu = kc, vc
+        if kvh != h:
+            ku = jnp.repeat(ku, h // kvh, axis=1)
+            vu = jnp.repeat(vu, h // kvh, axis=1)
+        scores = (
+            jnp.einsum("bhqd,bhkd->bhqk", q, ku, preferred_element_type=jnp.float32)
+            * scale
+            + mask
+        )
+        attn = jax.nn.softmax(scores, axis=-1).astype(vu.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", attn, vu)
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, h * hd) @ lp["o.w"].T
+        x = x + o * lp["ls_attn"][None, None, :]
+
+        hin = _layer_norm(x, lp["ln2.w"], lp["ln2.b"], cfg.norm_eps)
+        mlp = jax.nn.gelu(hin @ lp["fc1.w"].T, approximate=False) @ lp["fc2.w"].T
+        x = x + mlp * lp["ls_mlp"][None, None, :]
+    return x, {
+        "layers": new_layers,
+        "slot_pos": slot_pos,
+        "pos": pos0 + t,
+    }
+
+
+def mimi_decode_stream_init(
+    params: Dict, cfg: MimiConfig, batch: int = 1, max_step: int = 64
+):
+    """max_step: largest number of TRANSFORMER positions (2x code frames
+    when has_resample) a single decode_step call may feed."""
+    state = {
+        "transformer": transformer_stream_init(cfg, batch, max_step),
+        "seanet": seanet_decode_stream_init(params["decoder"], cfg, batch),
+    }
+    if cfg.has_resample:
+        w = params["upsample"]["w"]  # (C_in, C_out/groups, K), groups=C_in
+        state["upsample"] = jnp.zeros(
+            (batch, cfg.upsample_groups * w.shape[1], w.shape[-1] - 2)
+        )
+    return state
+
+
+def mimi_decode_step(codes: jnp.ndarray, params: Dict, cfg: MimiConfig, state):
+    """Streaming twin of mimi_decode: (B, K, t) codes -> (B, 1, t*hop*?) PCM
+    plus carried state. Feeding chunks of any size yields exactly the
+    prefix-concatenation of the batch decode."""
+    emb = split_rvq_decode(codes, params["quantizer"], cfg)
+    new_state = dict(state)
+    if cfg.has_resample:
+        emb, up = _stream_conv_transpose1d(
+            emb,
+            params["upsample"]["w"],
+            None,
+            state["upsample"],
+            stride=2,
+            groups=cfg.upsample_groups,
+        )
+        new_state["upsample"] = up
+    emb, tcache = mimi_transformer_step(
+        emb.transpose(0, 2, 1), params["decoder_transformer"], cfg,
+        state["transformer"],
+    )
+    new_state["transformer"] = tcache
+    audio, sstate = seanet_decode_stream(
+        emb.transpose(0, 2, 1), params["decoder"], cfg, state["seanet"]
+    )
+    new_state["seanet"] = sstate
+    return audio, new_state
 
 
 # --------------------------------------------------------------------------
@@ -565,6 +829,7 @@ class MimiCodec:
         self._encode_jit = jax.jit(
             lambda p, a: mimi_encode(a, p, self.cfg, self.num_quantizers)
         )
+        self._step_jit: Dict = {}
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         codes = np.asarray(codes)
@@ -576,3 +841,71 @@ class MimiCodec:
     def encode(self, audio: np.ndarray) -> np.ndarray:
         audio = np.atleast_2d(np.asarray(audio, np.float32))[:, None, :]
         return np.asarray(self._encode_jit(self.params, jnp.asarray(audio)))
+
+    # -- streaming (reference: server/lib/audio/mimi.rs:52-88) -------------
+
+    def start_stream(
+        self, batch: int = 1, max_step_frames: int = 32
+    ) -> "MimiStreamSession":
+        """Open a streaming decode session: feed code frames incrementally,
+        receive the exact same PCM the batch decode would produce for the
+        growing prefix. Counterpart of the reference's `decode_step` with
+        carried state; dropping the session is `reset_state`
+        (mimi.rs:52-88, reset after batch decode at codec.rs:41-43)."""
+        return MimiStreamSession(self, batch, max_step_frames)
+
+    def decode_step(self, codes: np.ndarray, state):
+        """One streaming step: codes (K, t) or (B, K, t) -> (pcm (B, t*spf),
+        new_state). Use start_stream() for chunk-size bucketing and the
+        frames_per_step bound; state comes from mimi_decode_stream_init."""
+        codes = np.asarray(codes)
+        if codes.ndim == 2:
+            codes = codes[None]
+        t = codes.shape[-1]
+        key = ("step", codes.shape)
+        if key not in self._step_jit:
+            self._step_jit[key] = jax.jit(
+                lambda p, c, s: mimi_decode_step(c, p, self.cfg, s)
+            )
+        audio, state = self._step_jit[key](
+            self.params, jnp.asarray(codes, jnp.int32), state
+        )
+        return np.asarray(audio)[:, 0, :], state
+
+
+class MimiStreamSession:
+    """Stateful incremental decoder over one audio stream.
+
+    feed(codes (K, t)) returns the PCM for exactly those t frames; the
+    concatenation over calls equals MimiCodec.decode of the full code
+    sequence (golden-tested in tests/test_mimi.py). Chunks are cut to
+    `max_step_frames` internally, so any t is accepted with a bounded set
+    of jit specializations."""
+
+    def __init__(self, codec: MimiCodec, batch: int, max_step_frames: int):
+        self.codec = codec
+        self.max_step = max_step_frames
+        tsteps = max_step_frames * (2 if codec.cfg.has_resample else 1)
+        self.state = mimi_decode_stream_init(
+            codec.params, codec.cfg, batch, max_step=tsteps
+        )
+
+    def feed(self, codes: np.ndarray) -> np.ndarray:
+        codes = np.asarray(codes)
+        if codes.ndim == 2:
+            codes = codes[None]
+        parts = []
+        for s in range(0, codes.shape[-1], self.max_step):
+            chunk = codes[..., s : s + self.max_step]
+            pcm, self.state = self.codec.decode_step(chunk, self.state)
+            parts.append(pcm)
+        if not parts:
+            return np.zeros((codes.shape[0], 0), np.float32)
+        return np.concatenate(parts, axis=-1)
+
+    def reset(self, batch: int = 1) -> None:
+        """reset_state (reference: mimi.rs:84-88)."""
+        tsteps = self.max_step * (2 if self.codec.cfg.has_resample else 1)
+        self.state = mimi_decode_stream_init(
+            self.codec.params, self.codec.cfg, batch, max_step=tsteps
+        )

@@ -269,7 +269,10 @@ class TTSPipeline:
 
         No runaway reroll in this mode (audio already streamed can't be
         retracted); runaway chunks are truncated at the budget. Requires a
-        causal codec (Fish 1.4+).
+        causal codec: Fish 1.4+ (FireflyCodec.decode_tail recompute with
+        causal left context) or Mimi for DualAR/smoltts models (true
+        carried-state streaming via MimiCodec.start_stream — the
+        reference's decode_step, mimi.rs:52-88).
         """
         sampling = sampling or self.default_sampling
         chunks = preprocess_text(text)
@@ -287,8 +290,17 @@ class TTSPipeline:
         engine = self.engine
         state = engine.init_state(seed)
         cond_len = 0
+        use_mimi_stream = hasattr(self.codec, "start_stream")
         for i, chunk_tokens in enumerate(encoded):
             offset = cond_len if i > 0 else 0
+            # one codec stream per text chunk (chunks are independent
+            # generations; reference resets Mimi state per decode,
+            # audio/codec.rs:41-43)
+            stream = (
+                self.codec.start_stream(max_step_frames=frame_chunk)
+                if use_mimi_stream
+                else None
+            )
             state, first_frame, first_eos, _ = engine._prefill_raw(
                 state, chunk_tokens, sampling, offset=offset
             )
@@ -317,19 +329,25 @@ class TTSPipeline:
                     np.stack(frames, axis=1)[1:]
                 )
                 if codes.shape[1] > emitted_frames:
-                    yield self.codec.decode_tail(
-                        codes,
-                        codes.shape[1] - emitted_frames,
-                        context_frames,
-                    )
+                    if stream is not None:
+                        yield stream.feed(codes[:, emitted_frames:])[0]
+                    else:
+                        yield self.codec.decode_tail(
+                            codes,
+                            codes.shape[1] - emitted_frames,
+                            context_frames,
+                        )
                     emitted_frames = codes.shape[1]
             # flush anything not yet emitted (e.g. EOS on the very first
             # frame, where the decode loop never runs)
             codes = self._shift_output_tokens(np.stack(frames, axis=1)[1:])
             if codes.shape[1] > emitted_frames:
-                yield self.codec.decode_tail(
-                    codes, codes.shape[1] - emitted_frames, context_frames
-                )
+                if stream is not None:
+                    yield stream.feed(codes[:, emitted_frames:])[0]
+                else:
+                    yield self.codec.decode_tail(
+                        codes, codes.shape[1] - emitted_frames, context_frames
+                    )
             if i == 0:
                 cond_len = n_cond
             state = engine.rewind(state, cond_len)

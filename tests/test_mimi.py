@@ -122,6 +122,46 @@ def test_encode_parity(models):
     assert agree > 0.97, f"only {agree:.2%} of codes agree"
 
 
+def test_streaming_decode_matches_batch(models):
+    """decode_step chunked feeding == whole-sequence decode, exactly the
+    reference's streaming contract (mimi.rs:52-88): chunk boundaries must
+    be inaudible. Exercises causal-conv state carry, transposed-conv
+    overlap-add, and the sliding-window KV ring (T*2 transformer positions
+    >> sliding_window=6, multiple ring wraps)."""
+    _, cfg, params = models
+    codec = MimiCodec(params, cfg)
+    rng = np.random.default_rng(3)
+    t = 20
+    codes = rng.integers(0, cfg.codebook_size, size=(cfg.num_quantizers, t))
+    ref = codec.decode(codes)  # (1, t*hop)
+
+    session = codec.start_stream(max_step_frames=4)
+    parts = []
+    i = 0
+    for step in (1, 3, 4, 2, 4, 1, 5):  # ragged chunking
+        parts.append(session.feed(codes[:, i : i + step]))
+        i += step
+    assert i == t
+    got = np.concatenate(parts, axis=-1)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_reset(models):
+    """reset() starts an independent stream: the same codes decoded after
+    reset equal a fresh batch decode (no state leakage across streams)."""
+    _, cfg, params = models
+    codec = MimiCodec(params, cfg)
+    rng = np.random.default_rng(4)
+    codes = rng.integers(0, cfg.codebook_size, size=(cfg.num_quantizers, 7))
+    session = codec.start_stream(max_step_frames=4)
+    _ = session.feed(codes)  # pollute state
+    session.reset()
+    got = session.feed(codes)
+    ref = codec.decode(codes)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_encode_decode_roundtrip_shapes(models):
     _, cfg, params = models
     codec = MimiCodec(params, cfg)
