@@ -76,6 +76,80 @@ def test_concurrent_requests_overflow_rows(batcher):
         assert chunks[0].tokens.shape[1] >= 1
 
 
+def test_pipelined_speculation_no_frame_leakage():
+    """Stress the pipelined scheduler's epoch tagging: tiny horizon + tight
+    budgets force rows to budget-finish while a speculative decode chunk is
+    already in flight, then be re-admitted for their next text chunk. Any
+    stale speculative frame leaking into the wrong chunk breaks exact
+    equality with the serial engine at temp=0."""
+    params = init_dual_ar_params(jax.random.PRNGKey(9), CFG, dtype=jnp.float32)
+    sampling = SamplingArgs(temp=0.0)
+    reqs = [
+        # (prompts, cond_len, max_new): multi-chunk with differing budgets
+        ([make_prompt(6), make_prompt(4) + 1], 2, 4),
+        ([make_prompt(5), make_prompt(6) + 2, make_prompt(3) + 3], 3, 3),
+        ([make_prompt(7)], 0, 5),
+    ]
+
+    # serial references (per-request state, conditioning rewind like
+    # pipeline._generate_codes_chunked)
+    serial = LMEngine(
+        params, CFG, TOK, WhichLM.FISH_1_5,
+        cache_len=64, max_frames=8, dtype=jnp.float32, prompt_buckets=(16,),
+    )
+    expected = []
+    for prompts, cond_len, max_new in reqs:
+        state = serial.init_state(0)
+        outs = []
+        cl = 0
+        for i, p in enumerate(prompts):
+            offset = cl if i > 0 else 0
+            res, state = serial.generate(
+                p, max_new_tokens=max_new, sampling=sampling,
+                state=state, conditioning_offset=offset,
+            )
+            if i == 0:
+                cl = cond_len
+            state = serial.rewind(state, cl)
+            outs.append((res.semantic, res.tokens))
+        expected.append(outs)
+
+    beng = LMEngine(
+        params, CFG, TOK, WhichLM.FISH_1_5,
+        batch_size=2, cache_len=64, max_frames=8,
+        dtype=jnp.float32, prompt_buckets=(16,),
+    )
+    # horizon 2 < budgets: every chunk spans several ticks, so finishes
+    # routinely race an in-flight speculative chunk
+    b = ContinuousBatcher(beng, sampling, horizon=2)
+    try:
+        results = {}
+
+        def worker(i):
+            prompts, cond_len, max_new = reqs[i]
+            results[i] = [c for c in b.submit(prompts, cond_len, max_new)]
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(len(reqs))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+    finally:
+        b.shutdown()
+
+    for i, (prompts, _, _) in enumerate(reqs):
+        assert len(results[i]) == len(prompts)
+        for j, chunk in enumerate(results[i]):
+            exp_sem, exp_tok = expected[i][j]
+            np.testing.assert_array_equal(
+                chunk.semantic, exp_sem,
+                err_msg=f"request {i} chunk {j} semantic row diverged",
+            )
+            np.testing.assert_array_equal(chunk.tokens, exp_tok)
+
+
 def test_batcher_matches_serial_argmax():
     """With temp=0 (argmax ignores the shared RNG), a request through the
     batcher must produce exactly what the serial engine produces."""
