@@ -101,22 +101,142 @@ def _load_safetensors_mmap(path: Path) -> Dict[str, np.ndarray]:
     return out
 
 
+_TORCH_STORAGE_DTYPES = {
+    "DoubleStorage": np.dtype(np.float64),
+    "FloatStorage": np.dtype(np.float32),
+    "HalfStorage": np.dtype(np.float16),
+    "LongStorage": np.dtype(np.int64),
+    "IntStorage": np.dtype(np.int32),
+    "ShortStorage": np.dtype(np.int16),
+    "CharStorage": np.dtype(np.int8),
+    "ByteStorage": np.dtype(np.uint8),
+    "BoolStorage": np.dtype(np.bool_),
+}
+
+
+class _TorchPickleError(ValueError):
+    pass
+
+
+def _load_torch_pth(path: Path) -> Dict[str, np.ndarray]:
+    """Torch-free reader for modern (zip-format, torch>=1.6) .pth files.
+
+    The reference reads Fish 1.2's .pth natively through candle's pth
+    parser (server/lib/utils/load.rs:96-98) — no Python torch involved;
+    this is the same move for JAX. A .pth zip holds `<archive>/data.pkl`
+    (the pickled tensor graph) plus one raw little-endian blob per storage
+    under `<archive>/data/<key>`. We unpickle with a restricted Unpickler:
+    tensors come back through `persistent_load` as (storage bytes, dtype)
+    and `torch._utils._rebuild_tensor_v2` is reimplemented as a numpy
+    as_strided view, so non-contiguous saves load correctly. Anything
+    outside the tensor/state-dict vocabulary raises (same stance as
+    torch.load(weights_only=True)).
+    """
+    import pickle
+    import zipfile
+
+    import ml_dtypes
+
+    dtypes = dict(_TORCH_STORAGE_DTYPES, BFloat16Storage=ml_dtypes.bfloat16)
+
+    zf = zipfile.ZipFile(path)
+    pkl_names = [n for n in zf.namelist() if n.endswith("data.pkl")]
+    if not pkl_names:
+        raise _TorchPickleError(f"{path}: no data.pkl (legacy torch format?)")
+    pkl_name = min(pkl_names, key=len)
+    prefix = pkl_name[: -len("data.pkl")]
+
+    def rebuild_tensor_v2(
+        storage, storage_offset, size, stride, requires_grad, hooks, *extra
+    ):
+        flat, dt = storage
+        itemsize = np.dtype(dt).itemsize
+        arr = np.frombuffer(flat, dtype=dt)
+        if not size:
+            return arr[storage_offset].copy()
+        view = np.lib.stride_tricks.as_strided(
+            arr[storage_offset:],
+            shape=tuple(size),
+            strides=tuple(s * itemsize for s in stride),
+        )
+        return np.ascontiguousarray(view)
+
+    class StorageType:
+        def __init__(self, name):
+            self.name = name
+
+    class AttrDict(dict):
+        """OrderedDict stand-in: state_dicts pickle a `_metadata`
+        attribute onto the mapping (pickle BUILD writes obj.__dict__)."""
+
+    _ALLOWED = {
+        ("torch._utils", "_rebuild_tensor_v2"): rebuild_tensor_v2,
+        ("torch._utils", "_rebuild_parameter"): lambda data, *a: data,
+        ("collections", "OrderedDict"): AttrDict,
+        ("torch.serialization", "_get_layout"): lambda name: None,
+    }
+
+    class Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if (module, name) in _ALLOWED:
+                return _ALLOWED[(module, name)]
+            if module == "torch" and name in dtypes:
+                return StorageType(name)
+            raise _TorchPickleError(
+                f"{path}: refusing to unpickle {module}.{name}"
+            )
+
+        def persistent_load(self, pid):
+            if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
+                raise _TorchPickleError(f"{path}: unexpected pid {pid!r}")
+            storage_type, key = pid[1], pid[2]
+            dt = dtypes[storage_type.name]
+            return zf.read(f"{prefix}data/{key}"), dt
+
+    with zf.open(pkl_name) as f:
+        state = Unpickler(f).load()
+    return state
+
+
 def load_raw_checkpoint(path: str | Path) -> Dict[str, np.ndarray]:
     """Read one safetensors or torch .pth file into {name: np.ndarray}.
 
-    safetensors (incl. bf16) load torch-free via mmap; torch is required
-    only for .pth pickles (Fish 1.2)."""
+    Both formats load torch-free: safetensors (incl. bf16) via mmap,
+    zip-format .pth via the restricted unpickler above. torch itself is
+    only a last-resort fallback for pre-1.6 legacy pickle files."""
+    import zipfile
+
     path = Path(path)
     if path.suffix == ".safetensors":
         return _load_safetensors_mmap(path)
     # torch pickle (.pth / .pt / .bin)
-    import torch
+    if zipfile.is_zipfile(path):
+        state = _load_torch_pth(path)
+    else:  # legacy non-zip torch serialization: punt to torch
+        import torch
 
-    state = torch.load(str(path), map_location="cpu", weights_only=True)
-    if isinstance(state, dict) and "state_dict" in state:
-        state = state["state_dict"]
-    raw = {k: v.to(dtype=torch.float32).numpy() for k, v in state.items()}
+        loaded = torch.load(str(path), map_location="cpu", weights_only=True)
+        state = {
+            k: (v.float().numpy() if v.is_floating_point() else v.numpy())
+            for k, v in _unwrap_state_dict(loaded).items()
+        }
+    state = _unwrap_state_dict(state)
+    raw = {
+        k: (
+            v.astype(np.float32)
+            if v.dtype.kind == "f" or v.dtype.name == "bfloat16"
+            else np.asarray(v)
+        )
+        for k, v in state.items()
+        if hasattr(v, "dtype")
+    }
     return _merge_weight_norm(raw)
+
+
+def _unwrap_state_dict(state):
+    if isinstance(state, dict) and "state_dict" in state:
+        return state["state_dict"]
+    return state
 
 
 def _find_weights_file(ckpt_dir: Path, names) -> Path:

@@ -174,3 +174,84 @@ class TestWeightNorm:
         torch.save(sd, tmp_path / "model.pth")
         raw = load_raw_checkpoint(tmp_path / "model.pth")
         np.testing.assert_allclose(raw["a.weight"], sd["a.weight"].numpy())
+
+
+class TestTorchFreePth:
+    """Zip-format .pth (Fish 1.2's LM/codec format) must load without
+    torch at runtime — the reference parses .pth natively through candle
+    (load.rs:96-98); io/checkpoint.py does the same with zipfile + a
+    restricted unpickler."""
+
+    def _sd(self):
+        import torch
+
+        base = torch.randn(6, 4)
+        return {
+            "w.f32": torch.randn(3, 4),
+            "w.f16": torch.randn(2, 5).half(),
+            "w.bf16": torch.randn(4, 4).to(torch.bfloat16),
+            "w.f64": torch.randn(2, 2, dtype=torch.float64),
+            "w.i64": torch.arange(6),
+            "w.noncontig": base.t(),  # transposed view: stride exercise
+            "w.slice": base[1:5:2],  # offset + strided rows
+            "w.scalar": torch.tensor(3.5),
+        }
+
+    def test_matches_torch_load_without_torch(self, tmp_path, monkeypatch):
+        import sys
+
+        import torch
+
+        sd = self._sd()
+        expected = {
+            k: (v.float().numpy() if v.is_floating_point() else v.numpy())
+            for k, v in sd.items()
+        }
+        torch.save(sd, tmp_path / "model.pth")
+
+        monkeypatch.setitem(sys.modules, "torch", None)  # block import torch
+        raw = load_raw_checkpoint(tmp_path / "model.pth")
+        assert set(raw) == set(expected)
+        for k in expected:
+            np.testing.assert_array_equal(raw[k], expected[k], err_msg=k)
+
+    def test_nested_state_dict_unwrapped(self, tmp_path, monkeypatch):
+        import sys
+
+        import torch
+
+        inner = {"x.weight": torch.randn(2, 3)}
+        torch.save({"state_dict": inner, "epoch": torch.tensor(7)},
+                   tmp_path / "ckpt.pth")
+        monkeypatch.setitem(sys.modules, "torch", None)
+        raw = load_raw_checkpoint(tmp_path / "ckpt.pth")
+        np.testing.assert_allclose(raw["x.weight"], inner["x.weight"].numpy())
+
+    def test_weight_norm_pth_merges_without_torch(self, tmp_path, monkeypatch):
+        """The Fish 1.2 vocoder .pth path: weight-norm parametrizations in
+        a zip .pth fold into plain weights, torch-free."""
+        import sys
+
+        import torch
+
+        conv = torch.nn.utils.parametrizations.weight_norm(
+            torch.nn.Conv1d(4, 8, 3)
+        )
+        torch.save(conv.state_dict(), tmp_path / "gen.pth")
+        expected = conv.weight.detach().numpy()
+        monkeypatch.setitem(sys.modules, "torch", None)
+        raw = load_raw_checkpoint(tmp_path / "gen.pth")
+        np.testing.assert_allclose(raw["weight"], expected, rtol=1e-5, atol=1e-6)
+
+    def test_refuses_arbitrary_objects(self, tmp_path):
+        """weights_only stance: unpickling anything outside the tensor
+        vocabulary must raise, not execute."""
+        import pickle
+        import zipfile
+
+        with zipfile.ZipFile(tmp_path / "evil.pth", "w") as zf:
+            zf.writestr(
+                "archive/data.pkl", pickle.dumps({"cmd": object()})
+            )
+        with pytest.raises(Exception):
+            load_raw_checkpoint(tmp_path / "evil.pth")
