@@ -100,6 +100,8 @@ def main() -> None:
         if args.continuous_batch > 0
         else None
     )
+    if batcher is not None and args.warmup:
+        batcher.warmup()
     state = AppState(pipeline, voices, default_voice, batcher=batcher)
     serve(state, port=args.port)
 

@@ -33,6 +33,15 @@ def _collect(req):
     return [c for c in req]
 
 
+def test_warmup_then_serve(batcher):
+    """warmup() compiles per-bucket prefill + the decode chunk through the
+    real scheduler and leaves the batcher fully serviceable."""
+    batcher.warmup()
+    req = batcher.submit([make_prompt(5)], cond_len=0, max_new=4)
+    chunks = _collect(req)
+    assert len(chunks) == 1 and chunks[0].tokens.shape[1] >= 1
+
+
 def test_single_request_roundtrip(batcher):
     req = batcher.submit([make_prompt(6)], cond_len=0, max_new=6)
     chunks = _collect(req)
