@@ -17,6 +17,15 @@ GSPMD propagates these through the scan body: wqkv column-parallel ->
 heads split across tp -> wo row-parallel with a psum on exit, and
 likewise w1/w3 -> w2. The KV cache shards over ("dp", None_heads...) so
 decode rows scale across dp.
+
+Deliberately absent (design stance, SURVEY §2.6): pipeline, sequence,
+and expert parallelism. This is an inference server for a ~500 M-param
+dense LM with max_seq_len 4096 — the model fits one chip with room to
+spare, prompts are short (text chunks + conditioning), and there are no
+experts. dp scales concurrent requests, tp covers larger DualAR
+checkpoints; pp/sp would add pipeline bubbles / ring-attention
+complexity with nothing to amortize them. The reference itself has no
+distributed support at all (single CUDA ordinal, state.rs mutex).
 """
 
 from __future__ import annotations
