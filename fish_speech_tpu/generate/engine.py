@@ -115,6 +115,7 @@ class LMEngine:
         # frame.semantic_head_columns). The full params stay available for
         # callers that need unconstrained logits (hidden-states debugging).
         self.full_params = params
+        self.quantize_int8 = quantize_int8
         cols = semantic_head_columns(lm, token_cfg, cfg)
         params = dict(params)
         params["output"] = jnp.take(

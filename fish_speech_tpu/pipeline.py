@@ -373,6 +373,7 @@ class TTSPipeline:
             rep_pen_window=BATCHED_REP_PEN_WINDOW,
             prompt_buckets=e.prompt_buckets,
             dtype=e.dtype,
+            quantize_int8=e.quantize_int8,
         )
         return ContinuousBatcher(
             engine, self.default_sampling, horizon=horizon
@@ -433,6 +434,7 @@ class TTSPipeline:
                 rep_pen_window=BATCHED_REP_PEN_WINDOW,
                 prompt_buckets=e.prompt_buckets,
                 dtype=e.dtype,
+                quantize_int8=e.quantize_int8,
             )
         return self._batch_engines[batch_size]
 

@@ -140,3 +140,36 @@ def test_quantized_engine_generates():
     # weight-only int8 should track closely on a tiny model: first frame
     # usually identical under argmax
     assert res.semantic[0] == ref.semantic[0]
+
+
+def test_batcher_inherits_quantization():
+    """create_batcher / _get_batch_engine must carry the int8 flag: a
+    server started with --quantize-int8 --continuous-batch N should not
+    silently fall back to bf16 in the shared decode rows."""
+    from fish_speech_tpu.pipeline import TTSPipeline
+    from tests.test_server import CODEC_CFG, DummyTokenizer
+    from fish_speech_tpu.models.codec.firefly import (
+        FireflyCodec,
+        init_firefly_params,
+    )
+
+    params = init_dual_ar_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    engine = LMEngine(
+        params, CFG, TOK, WhichLM.FISH_1_5,
+        cache_len=64, max_frames=8, dtype=jnp.float32,
+        prompt_buckets=(16,), quantize_int8=True,
+    )
+    codec = FireflyCodec(
+        init_firefly_params(jax.random.PRNGKey(1), CODEC_CFG), CODEC_CFG,
+        buckets=(8, 16),
+    )
+    pipe = TTSPipeline(engine, codec, DummyTokenizer(), WhichLM.FISH_1_5)
+    batcher = pipe.create_batcher(rows=2, horizon=4)
+    try:
+        assert batcher.engine.quantize_int8
+        req = batcher.submit([make_prompt(6)], cond_len=0, max_new=4)
+        chunks = [c for c in req]
+        assert len(chunks) == 1 and chunks[0].tokens.shape[1] >= 1
+    finally:
+        batcher.shutdown()
+    assert pipe._get_batch_engine(2).quantize_int8
