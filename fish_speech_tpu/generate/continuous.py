@@ -123,14 +123,23 @@ class ContinuousBatcher:
         sampling: SamplingArgs,
         *,
         horizon: int = 16,
+        shard_state=None,
     ) -> None:
         """engine must be built with batch_size == number of decode rows
         (BASELINE configs target 16 for the 16-concurrent-request serving
-        shape)."""
+        shape).
+
+        shard_state: optional GenState -> GenState placement hook for
+        multi-chip serving — e.g. parallel.mesh.shard_gen_state to spread
+        decode rows over a dp axis (with the engine's params sharded via
+        shard_lm_params). Shardings live on the arrays themselves, so the
+        scheduler thread needs no mesh context."""
         self.engine = engine
         self.sampling = sampling
         self.horizon = horizon
         self.state: GenState = engine.init_state()
+        if shard_state is not None:
+            self.state = shard_state(self.state)
         # idle rows must be device-done, or they decode junk and advance
         # their cache positions between admissions
         self.state = self.state._replace(

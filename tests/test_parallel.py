@@ -64,3 +64,43 @@ def test_sharded_decode_matches_unsharded():
     g1, g2 = run(True)
     np.testing.assert_array_equal(f1, g1)
     np.testing.assert_array_equal(f2, g2)
+
+
+def test_sharded_continuous_batcher_matches_serial():
+    """The SERVING path sharded: a continuous batcher whose params/state
+    are dp=4 x tp=2 sharded (BASELINE configs[4] scale-out shape) must
+    produce exactly the serial single-device engine's argmax tokens —
+    admission prefill at a traced row index, the horizon decode chunk,
+    and the pipelined scheduler all run through GSPMD collectives."""
+    from fish_speech_tpu.generate.continuous import ContinuousBatcher
+    from tests.test_engine import make_prompt
+
+    params = init_dual_ar_params(jax.random.PRNGKey(3), CFG, dtype=jnp.float32)
+    sampling = SamplingArgs(temp=0.0)
+    prompt = make_prompt(6)
+
+    serial = LMEngine(
+        params, CFG, TOK, WhichLM.FISH_1_5,
+        cache_len=32, max_frames=8, dtype=jnp.float32, prompt_buckets=(8,),
+    )
+    ref, _ = serial.generate(prompt, max_new_tokens=5, sampling=sampling, seed=0)
+
+    mesh = make_mesh(8, tp=2)
+    sharded_params = shard_lm_params(params, mesh, CFG)
+    engine = LMEngine(
+        sharded_params, CFG, TOK, WhichLM.FISH_1_5,
+        batch_size=4, cache_len=32, max_frames=8,
+        dtype=jnp.float32, prompt_buckets=(8,),
+    )
+    b = ContinuousBatcher(
+        engine, sampling, horizon=3,
+        shard_state=lambda s: shard_gen_state(s, mesh, CFG),
+    )
+    try:
+        req = b.submit([prompt], cond_len=0, max_new=5)
+        chunks = [c for c in req]
+    finally:
+        b.shutdown()
+    assert len(chunks) == 1
+    np.testing.assert_array_equal(chunks[0].semantic, ref.semantic)
+    np.testing.assert_array_equal(chunks[0].tokens, ref.tokens)
