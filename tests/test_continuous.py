@@ -159,6 +159,33 @@ def test_pipelined_speculation_no_frame_leakage():
             np.testing.assert_array_equal(chunk.tokens, exp_tok)
 
 
+def test_scheduler_death_propagates_to_waiters():
+    """If the decode program raises, every waiting request gets the error
+    instead of hanging (failure-detection parity: the reference surfaces
+    model errors as HTTP 500 via anyhow, handlers/error.rs:17-32)."""
+    params = init_dual_ar_params(jax.random.PRNGKey(2), CFG, dtype=jnp.float32)
+    engine = LMEngine(
+        params, CFG, TOK, WhichLM.FISH_1_5,
+        batch_size=2, cache_len=64, max_frames=16,
+        dtype=jnp.float32, prompt_buckets=(16,),
+    )
+    boom = RuntimeError("injected decode failure")
+
+    def bad_decode_chunk(*a, **k):
+        raise boom
+
+    engine.decode_chunk = bad_decode_chunk
+    b = ContinuousBatcher(engine, SamplingArgs(temp=0.8, top_k=8), horizon=4)
+    try:
+        req1 = b.submit([make_prompt(6)], cond_len=0, max_new=6)
+        req2 = b.submit([make_prompt(5)], cond_len=0, max_new=6)
+        for req in (req1, req2):
+            with pytest.raises(RuntimeError, match="injected decode failure"):
+                _collect(req)
+    finally:
+        b.shutdown()
+
+
 def test_batcher_matches_serial_argmax():
     """With temp=0 (argmax ignores the shared RNG), a request through the
     batcher must produce exactly what the serial engine produces."""

@@ -326,3 +326,31 @@ def test_speech_route_with_continuous_batcher(pipeline):
             assert w[:4] == b"RIFF"
     finally:
         batcher.shutdown()
+
+
+def test_opus_streaming_route_with_continuous_batcher(pipeline):
+    """Streaming Ogg/Opus response while decoding through the shared
+    batcher (the use_batcher + streaming composition in handle_speech)."""
+    voice = pipeline.prompt_encoder.encode_conditioning_prompt(
+        "hi", np.zeros((NUM_CODEBOOKS, 3), np.int32)
+    )
+    batcher = pipeline.create_batcher(rows=2, horizon=4)
+    st = AppState(pipeline, {"default": voice}, voice, batcher=batcher)
+    try:
+        async def fn(client):
+            resp = await client.post(
+                "/v1/audio/speech",
+                json={
+                    "voice": "default",
+                    "input": "Hello world.",
+                    "response_format": "opus",
+                },
+            )
+            assert resp.status == 200, await resp.text()
+            assert resp.content_type == "audio/ogg"
+            return await resp.read()
+
+        ogg = _sync(_run(st, fn))
+        assert ogg[:4] == b"OggS"
+    finally:
+        batcher.shutdown()
