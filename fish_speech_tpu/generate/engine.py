@@ -175,13 +175,25 @@ class LMEngine:
 
     # -- jitted kernels ---------------------------------------------------
 
-    def _get_prefill(self, sampling: SamplingArgs):
+    def _kv_extent_for(self, offset: int, bucket: int) -> int:
+        """Static attention read extent for a prefill at host-side
+        `offset` with a `bucket`-padded prompt: the smallest prompt bucket
+        covering offset + bucket (capped at cache_len). Keeps per-layer
+        prefill scores O(prompt) instead of O(S_max) with a bounded set of
+        compilations."""
+        need = min(offset + bucket, self.cache_len)
+        for b in self.prompt_buckets:
+            if need <= b:
+                return b
+        return self.cache_len
+
+    def _get_prefill(self, sampling: SamplingArgs, kv_extent: int):
         """Jitted prefill+first-frame. `params` flows through as a jit
         ARGUMENT — closing over the weights would embed them as compiler
         constants, which the TPU toolchain ingests per program and blows
         compile times up by >10x (measured: 6s as an argument vs 8+ min
         captured for the same graph)."""
-        key = sampling
+        key = (sampling, kv_extent)
         if key not in self._prefill_jit:
 
             @partial(jax.jit, donate_argnums=(2,))
@@ -196,6 +208,7 @@ class LMEngine:
                     state.cache,
                     0,
                     offset,
+                    kv_extent=kv_extent,
                 )
                 res: FrameResult = generate_frame(
                     params,
@@ -343,12 +356,12 @@ class LMEngine:
         fn = self._decode_jit[key]
         return lambda state: fn(params, state)
 
-    def _get_prefill_row(self, sampling: SamplingArgs):
+    def _get_prefill_row(self, sampling: SamplingArgs, kv_extent: int):
         """Jitted single-row admission prefill for the continuous batcher:
         prefill ONE request's prompt into row `row` of a shared B-row
         cache and splice its first frame / position / rep-pen state into
         the shared GenState without touching other rows."""
-        key = ("row", sampling)
+        key = ("row", sampling, kv_extent)
         if key not in self._prefill_jit:
 
             @partial(jax.jit, donate_argnums=(2,))
@@ -363,6 +376,7 @@ class LMEngine:
                     state.cache,
                     row,
                     offset,
+                    kv_extent=kv_extent,
                 )
                 res: FrameResult = generate_frame(
                     params,
@@ -415,7 +429,9 @@ class LMEngine:
         bucket = _bucket_for(sl, self.prompt_buckets)
         padded = np.zeros((1, rows_, bucket), np.int32)
         padded[0, :, :sl] = prompt
-        fn = self._get_prefill_row(sampling)
+        fn = self._get_prefill_row(
+            sampling, self._kv_extent_for(offset, bucket)
+        )
         state, frame, is_eos = fn(
             self.params,
             jnp.asarray(padded),
@@ -467,7 +483,7 @@ class LMEngine:
             seq_lens = jnp.full((b,), s, jnp.int32)
         else:
             seq_lens = jnp.asarray(np.asarray(seq_lens, np.int32))
-        fn = self._get_prefill(sampling)
+        fn = self._get_prefill(sampling, self._kv_extent_for(offset, bucket))
         state, frame, is_eos, _hidden = fn(
             self.params, jnp.asarray(padded), state, seq_lens, jnp.int32(offset)
         )
@@ -494,7 +510,7 @@ class LMEngine:
             seq_lens = jnp.full((b,), s, jnp.int32)
         else:
             seq_lens = jnp.asarray(np.asarray(seq_lens, np.int32))
-        fn = self._get_prefill(sampling)
+        fn = self._get_prefill(sampling, self._kv_extent_for(offset, bucket))
         return fn(
             self.params, jnp.asarray(padded), state, seq_lens, jnp.int32(offset)
         )

@@ -38,7 +38,7 @@ forward pass is `x @ w`; the checkpoint loader transposes from torch's
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -210,7 +210,10 @@ def _project_qkv(x, lp, cfg: DualARConfig):
     )
 
 
-def _layer_prefill(x, lp, ck, cv, cos, sin, mask, slot, offset, cfg: DualARConfig):
+def _layer_prefill(
+    x, lp, ck, cv, cos, sin, mask, slot, offset, cfg: DualARConfig,
+    kv_extent: Optional[int] = None,
+):
     """One block over a contiguous row range [slot, slot+B) at seq offset.
 
     x: (B, S, D); ck/cv: (B_total, KV, S_max, hd). Returns updated row
@@ -239,6 +242,12 @@ def _layer_prefill(x, lp, ck, cv, cos, sin, mask, slot, offset, cfg: DualARConfi
     )
     rows_k = ck[row_idx]  # gather, traced-slot safe
     rows_v = cv[row_idx]
+    if kv_extent is not None:
+        # static KV read extent (caller guarantees it covers
+        # offset + seq_len): identical masked softmax, but scores/reads
+        # scale with the prompt's own length instead of S_max
+        rows_k = rows_k[:, :, :kv_extent, :]
+        rows_v = rows_v[:, :, :kv_extent, :]
 
     scale = 1.0 / (cfg.head_dim**0.5)
     attn = gqa_attention(q, rows_k, rows_v, mask, scale)
@@ -318,6 +327,7 @@ def slow_prefill(
     cache: KVCache,
     slot,
     offset,
+    kv_extent: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
     """Prefill cache rows [slot, slot+B) with a right-padded prompt chunk.
 
@@ -326,6 +336,13 @@ def slow_prefill(
     of each row; `offset` is the retained conditioning-prefix length
     (0 for a fresh sequence), shared across rows.
 
+    kv_extent: optional STATIC bound on the attention read extent — the
+    caller must guarantee kv_extent >= offset + max(seq_lens) (the engine
+    buckets it from the host-side offset). With it, per-layer scores are
+    (S_pad, kv_extent) instead of (S_pad, S_max): a 64-token prompt in a
+    2048-slot cache stops paying 24 x 16 MB of masked-out score traffic.
+    Everything masked away was NEG_INF before, so results are identical.
+
     Returns (logits (B, V) f32 at each row's last real token,
              hidden (B, D) pre-norm at the same position, updated cache).
     """
@@ -333,16 +350,19 @@ def slow_prefill(
     x = embed_tokens(params, cfg, token_cfg, tokens)  # (B, S_pad, D)
     cos, sin = _rope_slice(cfg, s_pad, offset)
 
-    s_max = cache.max_len
+    s_kv = kv_extent if kv_extent is not None else cache.max_len
     q_pos = offset + jnp.arange(s_pad)[:, None]  # (S_pad, 1) absolute
-    k_pos = jnp.arange(s_max)[None, :]  # (1, S_max)
+    k_pos = jnp.arange(s_kv)[None, :]  # (1, S_kv)
     causal = (k_pos <= q_pos) & (q_pos - k_pos < cfg.max_seq_len)
-    k_valid = k_pos < (offset + seq_lens[:, None])  # (B, S_max)
+    k_valid = k_pos < (offset + seq_lens[:, None])  # (B, S_kv)
     allowed = causal[None, :, :] & k_valid[:, None, :]
     mask = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None, :, :]
 
     def layer_fn(xc, lp, ck, cv):
-        return _layer_prefill(xc, lp, ck, cv, cos, sin, mask, slot, offset, cfg)
+        return _layer_prefill(
+            xc, lp, ck, cv, cos, sin, mask, slot, offset, cfg,
+            kv_extent=kv_extent,
+        )
 
     x, cache = _scan_stack(layer_fn, params["slow"], x, cache)
 

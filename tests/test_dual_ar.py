@@ -118,6 +118,38 @@ class TestSlowPath:
         np.testing.assert_allclose(logits_step, logits_full, rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(hidden_step, hidden_full, rtol=2e-4, atol=2e-4)
 
+    def test_kv_extent_restriction_is_exact(self, params):
+        """Prefill with a static kv_extent (the engine's bucketed
+        attention-read bound) must produce bit-identical results to
+        attending over the whole cache: every position it drops was
+        NEG_INF-masked. Covers offset=0 and a conditioning offset, plus
+        the cache contents written for later decode steps."""
+        s = 5
+        tokens = random_tokens(4, 1, s)
+        lens = jnp.asarray([s])
+        full_l, full_h, full_c = slow_prefill(
+            params, CFG, TOK, tokens, lens, make_cache(), 0, 0
+        )
+        ext_l, ext_h, ext_c = slow_prefill(
+            params, CFG, TOK, tokens, lens, make_cache(), 0, 0, kv_extent=8
+        )
+        np.testing.assert_allclose(ext_l, full_l, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(ext_h, full_h, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(ext_c.k), np.asarray(full_c.k)
+        )
+
+        # with a conditioning prefix: prefill [0, 4), then chunk at offset 4
+        cond = random_tokens(5, 1, 4)
+        c1 = make_cache()
+        _, _, c1 = slow_prefill(params, CFG, TOK, cond, jnp.asarray([4]), c1, 0, 0)
+        c2 = jax.tree_util.tree_map(jnp.copy, c1)
+        l1, _, _ = slow_prefill(params, CFG, TOK, tokens, lens, c1, 0, 4)
+        l2, _, _ = slow_prefill(
+            params, CFG, TOK, tokens, lens, c2, 0, 4, kv_extent=16
+        )
+        np.testing.assert_allclose(l2, l1, rtol=1e-5, atol=1e-5)
+
     def test_right_padding_does_not_affect_logits(self, params):
         s = 5
         tokens = random_tokens(3, 1, s)
