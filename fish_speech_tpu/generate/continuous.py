@@ -104,16 +104,17 @@ class _Admit:
 
 @dataclasses.dataclass
 class _Inflight:
-    """One dispatched tick: admissions plus (optionally) a decode chunk
-    whose outputs are futures the host hasn't blocked on yet."""
+    """One dispatched tick: admissions plus a decode chunk whose outputs
+    are futures the host hasn't blocked on yet. (Admissions always imply
+    live rows, so every flight carries a decode chunk.)"""
 
     admits: List[_Admit]
     # (slot, epoch) per row that was live when the chunk was dispatched
     snapshot: List[tuple]
-    out: Optional[jax.Array] = None  # (horizon, B, C+1)
-    valid: Optional[jax.Array] = None  # (horizon, B)
-    done: Optional[jax.Array] = None  # (B,) post-chunk
-    steps: Optional[jax.Array] = None
+    out: jax.Array  # (horizon, B, C+1)
+    valid: jax.Array  # (horizon, B)
+    done: jax.Array  # (B,) post-chunk
+    steps: jax.Array
 
 
 class ContinuousBatcher:
@@ -170,21 +171,37 @@ class ContinuousBatcher:
         self._wake.set()
         self._thread.join(timeout=10)
 
-    def warmup(self) -> None:
+    def warmup(self, conditioning_lens=(0,)) -> None:
         """Pre-compile the batcher's programs (prefill_row per prompt
-        bucket + the horizon decode chunk) by running one tiny request per
-        bucket through the real scheduler path. Without this the first
-        real request per bucket pays a multi-second (remote toolchain:
-        multi-minute) compile; the 16-way bench measured a 140 s cold
-        first wave vs 1.3 s warm."""
-        c = self.engine.cfg.num_codebooks
-        for bucket in self.engine.prompt_buckets:
-            n = min(bucket, self.engine.cache_len - self.horizon - 2)
-            if n <= 0:
-                continue
-            prompt = np.zeros((c + 1, n), np.int32)
-            for _ in self.submit([prompt], 0, 2):
-                pass
+        bucket and attention extent + the horizon decode chunk) by running
+        tiny requests through the real scheduler path. Without this the
+        first real request per program pays a multi-second (remote
+        toolchain: multi-minute) compile that stalls every row; the
+        16-way bench measured a 140 s cold first wave vs 1.3 s warm.
+
+        conditioning_lens: like LMEngine.warmup — chunk 2+ of a
+        conditioned request prefills at offset = conditioning length,
+        which is a distinct jit key per bucketed attention extent."""
+        eng = self.engine
+        c = eng.cfg.num_codebooks
+        seen = set()
+        for bucket in eng.prompt_buckets:
+            for cond in conditioning_lens:
+                n = min(bucket, eng.cache_len - self.horizon - 2 - cond)
+                if n <= 0:
+                    continue
+                key = (bucket, eng._kv_extent_for(cond, bucket))
+                if key in seen:
+                    continue
+                seen.add(key)
+                chunk = np.zeros((c + 1, n), np.int32)
+                if cond > 0:
+                    # 2-chunk request: chunk 2 prefills at offset=cond
+                    prompts = [np.zeros((c + 1, cond), np.int32), chunk]
+                else:
+                    prompts = [chunk]
+                for _ in self.submit(prompts, cond, 2):
+                    pass
 
     # -- scheduler ---------------------------------------------------------
 
@@ -253,10 +270,12 @@ class ContinuousBatcher:
 
     def _dispatch(self) -> Optional[_Inflight]:
         """One tick's device work: admissions + one decode chunk, all
-        asynchronous. Returns None when there is nothing to run."""
+        asynchronous. Returns None when there is nothing to run.
+        (_start_chunk marks every admitted slot active, so admissions
+        non-empty implies a decode chunk is dispatched.)"""
         admits = self._admit()
         if not self._any_active():
-            return _Inflight(admits, []) if admits else None
+            return None
         snapshot = [
             (slot, self.epoch[slot.row])
             for slot in self.rows
@@ -275,11 +294,11 @@ class ContinuousBatcher:
     def _process(self, flight: _Inflight) -> None:
         """Block on one in-flight tick's outputs and hand frames to their
         requests. Runs while the NEXT tick computes on device."""
-        fetch = [a.frame for a in flight.admits] + [
-            a.is_eos for a in flight.admits
-        ]
-        if flight.out is not None:
-            fetch += [flight.out, flight.valid, flight.done, flight.steps]
+        fetch = (
+            [a.frame for a in flight.admits]
+            + [a.is_eos for a in flight.admits]
+            + [flight.out, flight.valid, flight.done, flight.steps]
+        )
         fetched = jax.device_get(fetch)
         n = len(flight.admits)
         frames, eoses = fetched[:n], fetched[n : 2 * n]
@@ -291,8 +310,6 @@ class ContinuousBatcher:
             slot.frames.append(np.asarray(frame))
             if bool(is_eos) or slot.budget == 0:
                 self._finish_chunk(slot, hit_max=False)
-        if flight.out is None:
-            return
         out, valid, done, steps = fetched[2 * n :]
         steps = int(steps)
         for slot, epoch in flight.snapshot:

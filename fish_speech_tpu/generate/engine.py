@@ -672,24 +672,45 @@ class LMEngine:
             )
         return results
 
-    def warmup(self, sampling: Optional[SamplingArgs] = None, buckets=None):
+    def warmup(
+        self,
+        sampling: Optional[SamplingArgs] = None,
+        buckets=None,
+        conditioning_lens=(0,),
+    ):
         """Pre-compile the prefill (per prompt bucket) and decode-loop
         programs so the first real request pays no compile latency
         (production servers call this at startup via --warmup; the
-        persistent compile cache makes later restarts near-instant)."""
+        persistent compile cache makes later restarts near-instant).
+
+        conditioning_lens: offsets to warm prefill at. The prefill jit key
+        includes the bucketed attention extent (_kv_extent_for), so chunk
+        2+ of a conditioned request (offset = conditioning length) can hit
+        a different program than offset 0 — pass each voice's conditioning
+        length (the server does) or the first conditioned chunk compiles
+        mid-serving."""
         sampling = sampling or SamplingArgs()
         b, c = self.batch_size, self.cfg.num_codebooks
+        seen = set()
         for bucket in buckets or self.prompt_buckets:
-            t0 = time.perf_counter()
-            state = self.init_state(seed=0)
-            prompt = np.zeros((b, c + 1, bucket), np.int32)
-            state, _, _ = self.prefill(state, prompt, sampling)
-            jax.block_until_ready(state.pos)
-            logger.info(
-                "warmup prefill bucket %d: %.1fs",
-                bucket,
-                time.perf_counter() - t0,
-            )
+            for cond in conditioning_lens:
+                if cond + bucket + 1 > self.cache_len:
+                    continue
+                key = (bucket, self._kv_extent_for(cond, bucket))
+                if key in seen:
+                    continue
+                seen.add(key)
+                t0 = time.perf_counter()
+                state = self.init_state(seed=0)
+                prompt = np.zeros((b, c + 1, bucket), np.int32)
+                state, _, _ = self.prefill(state, prompt, sampling, offset=cond)
+                jax.block_until_ready(state.pos)
+                logger.info(
+                    "warmup prefill bucket %d (offset %d): %.1fs",
+                    bucket,
+                    cond,
+                    time.perf_counter() - t0,
+                )
         t0 = time.perf_counter()
         state = self.init_state(seed=0)
         state, out, _, _, _ = self._get_decode_loop(sampling)(

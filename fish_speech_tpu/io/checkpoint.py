@@ -92,6 +92,10 @@ def _load_safetensors_mmap(path: Path) -> Dict[str, np.ndarray]:
     for name, meta in header.items():
         if name == "__metadata__":
             continue
+        if meta["dtype"] not in dtypes:
+            # exotic dtype (e.g. F8_*): punt the whole file to the
+            # safetensors library, which knows how to widen it
+            return _load_safetensors_fallback(path)
         dt = np.dtype(dtypes[meta["dtype"]])
         begin, end = meta["data_offsets"]
         count = (end - begin) // dt.itemsize
@@ -99,6 +103,24 @@ def _load_safetensors_mmap(path: Path) -> Dict[str, np.ndarray]:
             mm, dtype=dt, count=count, offset=base + begin
         ).reshape(meta["shape"])
     return out
+
+
+def _load_safetensors_fallback(path: Path) -> Dict[str, np.ndarray]:
+    """Slow path for safetensors dtypes the mmap reader doesn't map
+    (fp8 variants etc.): load via safetensors+torch, widened to f32."""
+    try:
+        import torch
+        from safetensors.torch import load_file
+    except ImportError as e:  # pragma: no cover — informative failure
+        raise ValueError(
+            f"{path} contains a tensor dtype the built-in reader does not "
+            "support, and the torch fallback is unavailable"
+        ) from e
+    sd = load_file(str(path))
+    return {
+        k: (v.float().numpy() if v.is_floating_point() else v.numpy())
+        for k, v in sd.items()
+    }
 
 
 _TORCH_STORAGE_DTYPES = {

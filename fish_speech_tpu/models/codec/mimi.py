@@ -884,28 +884,44 @@ class MimiStreamSession:
 
     def __init__(self, codec: MimiCodec, batch: int, max_step_frames: int):
         self.codec = codec
-        self.max_step = max_step_frames
-        tsteps = max_step_frames * (2 if codec.cfg.has_resample else 1)
+        self.batch = batch
+        # round up to a power of two: feed() decomposes chunks into
+        # power-of-two pieces so at most log2(max_step)+1 distinct chunk
+        # lengths ever reach the jit cache (a ragged tail would otherwise
+        # compile the full decoder once per novel length, mid-stream)
+        self.max_step = 1 << (max(1, max_step_frames) - 1).bit_length()
         self.state = mimi_decode_stream_init(
-            codec.params, codec.cfg, batch, max_step=tsteps
+            codec.params, codec.cfg, batch, max_step=self._tsteps()
         )
+
+    def _tsteps(self) -> int:
+        return self.max_step * (2 if self.codec.cfg.has_resample else 1)
 
     def feed(self, codes: np.ndarray) -> np.ndarray:
         codes = np.asarray(codes)
         if codes.ndim == 2:
             codes = codes[None]
         parts = []
-        for s in range(0, codes.shape[-1], self.max_step):
-            chunk = codes[..., s : s + self.max_step]
-            pcm, self.state = self.codec.decode_step(chunk, self.state)
+        s, t = 0, codes.shape[-1]
+        while s < t:
+            # largest power-of-two piece <= max_step that fits
+            step = min(self.max_step, t - s)
+            step = 1 << (step.bit_length() - 1)
+            pcm, self.state = self.codec.decode_step(
+                codes[..., s : s + step], self.state
+            )
             parts.append(pcm)
+            s += step
         if not parts:
             return np.zeros((codes.shape[0], 0), np.float32)
         return np.concatenate(parts, axis=-1)
 
-    def reset(self, batch: int = 1) -> None:
-        """reset_state (reference: mimi.rs:84-88)."""
-        tsteps = self.max_step * (2 if self.codec.cfg.has_resample else 1)
+    def reset(self, batch: Optional[int] = None) -> None:
+        """reset_state (reference: mimi.rs:84-88). Keeps the session's
+        batch size unless explicitly overridden."""
+        if batch is not None:
+            self.batch = batch
         self.state = mimi_decode_stream_init(
-            self.codec.params, self.codec.cfg, batch, max_step=tsteps
+            self.codec.params, self.codec.cfg, self.batch,
+            max_step=self._tsteps(),
         )

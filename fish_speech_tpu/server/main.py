@@ -93,15 +93,37 @@ def main() -> None:
         pipeline.prompt_encoder,
         pipeline.engine.cfg.num_codebooks,
     )
+    cond_lens = (0,)
     if args.warmup:
-        pipeline.engine.warmup(pipeline.default_sampling)
+        # Exact conditioning lengths per voice: chunk 2+ of a conditioned
+        # request prefills at offset = n_conditioning, which selects a
+        # distinct jitted prefill program (bucketed attention extent) —
+        # warm them now or the first multi-chunk request compiles
+        # mid-serving.
+        from fish_speech_tpu.config import WhichLM
+        from fish_speech_tpu.pipeline import FISH_1_5_SYSPROMPT
+
+        sysprompt = (
+            FISH_1_5_SYSPROMPT if pipeline.lm == WhichLM.FISH_1_5 else None
+        )
+        lens = {0}
+        for v in voices.values():
+            n_cond, _ = pipeline.prompt_encoder.encode_sequence(
+                ["warmup"], sysprompt_text=sysprompt, cached_speaker=v,
+                assume_kv_cache=True,
+            )
+            lens.add(n_cond)
+        cond_lens = tuple(sorted(lens))
+        pipeline.engine.warmup(
+            pipeline.default_sampling, conditioning_lens=cond_lens
+        )
     batcher = (
         pipeline.create_batcher(args.continuous_batch)
         if args.continuous_batch > 0
         else None
     )
     if batcher is not None and args.warmup:
-        batcher.warmup()
+        batcher.warmup(conditioning_lens=cond_lens)
     state = AppState(pipeline, voices, default_voice, batcher=batcher)
     serve(state, port=args.port)
 

@@ -34,9 +34,10 @@ def _collect(req):
 
 
 def test_warmup_then_serve(batcher):
-    """warmup() compiles per-bucket prefill + the decode chunk through the
-    real scheduler and leaves the batcher fully serviceable."""
-    batcher.warmup()
+    """warmup() compiles per-bucket prefill (including the conditioned
+    offset>0 variants) + the decode chunk through the real scheduler and
+    leaves the batcher fully serviceable."""
+    batcher.warmup(conditioning_lens=(0, 5))
     req = batcher.submit([make_prompt(5)], cond_len=0, max_new=4)
     chunks = _collect(req)
     assert len(chunks) == 1 and chunks[0].tokens.shape[1] >= 1

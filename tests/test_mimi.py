@@ -147,6 +147,21 @@ def test_streaming_decode_matches_batch(models):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_streaming_reset_keeps_batch(models):
+    """reset() preserves the session's batch size (a batch-2 session must
+    stay batch-2 — regression: reset used to rebuild batch-1 state)."""
+    _, cfg, params = models
+    codec = MimiCodec(params, cfg)
+    rng = np.random.default_rng(6)
+    codes = rng.integers(0, cfg.codebook_size, size=(2, cfg.num_quantizers, 6))
+    session = codec.start_stream(batch=2, max_step_frames=4)
+    _ = session.feed(codes)
+    session.reset()
+    got = session.feed(codes)
+    ref = codec.decode(codes)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_streaming_reset(models):
     """reset() starts an independent stream: the same codes decoded after
     reset equal a fresh batch decode (no state leakage across streams)."""
