@@ -307,6 +307,113 @@ def bench_continuous(rows: int = 16) -> None:
     )
 
 
+def bench_ttfa(trials: int = 11) -> None:
+    """p50 time-to-first-audio over the low-latency streaming path
+    (BASELINE north-star: < 300 ms on one v5e chip): prefill + one
+    16-frame decode chunk + incremental causal vocode of those frames,
+    timed to the first PCM bytes on the host."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "cpu" not in plat.split(","):
+        os.environ["JAX_PLATFORMS"] = plat + ",cpu"
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_fishtpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+
+    from fish_speech_tpu.config import (
+        DualARConfig,
+        FireflyConfig,
+        FishVersion,
+        TokenConfig,
+        WhichLM,
+    )
+    from fish_speech_tpu.generate.engine import LMEngine
+    from fish_speech_tpu.models.codec.firefly import (
+        FireflyCodec,
+        init_firefly_params,
+    )
+    from fish_speech_tpu.models.dual_ar import init_dual_ar_params
+    from fish_speech_tpu.ops.sampling import SamplingArgs
+
+    cfg = DualARConfig.fish_speech_1_5()
+    tok = TokenConfig(
+        im_end_id=100011,
+        pad_id=5,
+        semantic_start_id=100012,
+        semantic_end_id=100012 + cfg.codebook_size - 1,
+    )
+    codec_cfg = FireflyConfig.for_version(FishVersion.V1_5)
+    fi = _make_fast_device_init(jax, jnp)
+    params = fi(
+        lambda: init_dual_ar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16),
+        0,
+    )
+    params["output"] = params["output"].at[:, tok.im_end_id].multiply(0.0)
+    jax.block_until_ready(params)
+    codec_params = fi(
+        lambda: init_firefly_params(jax.random.PRNGKey(1), codec_cfg, jnp.float32),
+        1,
+    )
+    jax.block_until_ready(codec_params)
+
+    frame_chunk = 16
+    engine = LMEngine(
+        params, cfg, tok, WhichLM.FISH_1_5,
+        cache_len=512, max_frames=frame_chunk,
+        dtype=jnp.bfloat16, prompt_buckets=(64,),
+    )
+    codec = FireflyCodec(codec_params, codec_cfg, buckets=(32,))
+    sampling = SamplingArgs(temp=0.7, top_p=0.8, top_k=256, repetition_penalty=1.4)
+    rng = np.random.default_rng(0)
+    prompt = np.concatenate(
+        [
+            rng.integers(1000, 90000, size=(1, 40)),
+            np.zeros((cfg.num_codebooks, 40), np.int64),
+        ],
+        axis=0,
+    )
+
+    def first_audio():
+        """One request's path to first PCM: returns (ttfa_s, n_samples)."""
+        t0 = time.perf_counter()
+        state = engine.init_state(0)
+        state, first, _, _ = engine._prefill_raw(state, prompt, sampling)
+        frames = [np.asarray(first)[0]]
+        state, out, valid, steps = engine.decode_chunk(
+            state, sampling, frame_chunk
+        )
+        out, valid, steps = jax.device_get((out, valid, steps))
+        for s in range(int(steps)):
+            if valid[s, 0]:
+                frames.append(out[s, 0])
+        codes = np.stack(frames, axis=1)[1:]
+        pcm = codec.decode_tail(codes, codes.shape[1], context_frames=32)
+        return time.perf_counter() - t0, pcm.shape[-1]
+
+    first_audio()  # compile everything
+    ts = []
+    for _ in range(trials):
+        t, n = first_audio()
+        ts.append(t)
+        log(f"ttfa {t * 1e3:.0f} ms ({n} samples of first audio)")
+    ts.sort()
+    p50 = ts[len(ts) // 2]
+    target = 0.3
+    print(
+        json.dumps(
+            {
+                "metric": "p50_ttfa_lowlatency_stream",
+                "value": round(p50, 4),
+                "unit": "seconds_lower_is_better",
+                "vs_baseline": round(target / p50, 3),
+            }
+        )
+    )
+
+
 def _make_fast_device_init(jax, jnp):
     """Shared device-side random init (see main() docstring)."""
 
@@ -409,5 +516,7 @@ if __name__ == "__main__":
         i = sys.argv.index("--continuous")
         n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 16
         bench_continuous(n)
+    elif "--ttfa" in sys.argv:
+        bench_ttfa()
     else:
         main()
