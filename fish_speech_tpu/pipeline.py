@@ -17,6 +17,7 @@ import time
 from pathlib import Path
 from typing import Iterator, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -311,12 +312,24 @@ class TTSPipeline:
             )
             done = bool(np.asarray(first_eos)[0])
             emitted_frames = 0
-            while not done and len(frames) - 1 < budget:
-                state, out, valid, steps = engine.decode_chunk(
-                    state, sampling, frame_chunk
+            # Pipelined like the continuous batcher: chunk N+1 is
+            # dispatched (async) before chunk N's frames are fetched, so
+            # the chip decodes while the host unpacks + vocodes. The
+            # speculative chunk decoded past an EOS/budget end is
+            # device-harmless (EOS rows emit invalid frames and freeze
+            # their position; budget overruns are rewound by the next
+            # chunk's prefill/rewind) — it just gets discarded.
+            pending = None
+            if not done and budget > 0:
+                pending = engine.decode_chunk(state, sampling, frame_chunk)
+            while pending is not None:
+                state, out, valid, steps = pending
+                done_dev = jnp.copy(state.done)  # state is donated next
+                pending = engine.decode_chunk(state, sampling, frame_chunk)
+                state = pending[0]
+                out, valid, steps, done_arr = jax.device_get(
+                    (out, valid, steps, done_dev)
                 )
-                out = np.asarray(out)
-                valid = np.asarray(valid)
                 for s in range(int(steps)):
                     if valid[s, 0] and len(frames) - 1 < budget:
                         frames.append(out[s, 0])
@@ -324,7 +337,11 @@ class TTSPipeline:
                         done = True
                         break
                 else:
-                    done = bool(np.asarray(state.done)[0])
+                    done = bool(done_arr[0])
+                if done or len(frames) - 1 >= budget:
+                    # drop the speculative dispatch; its state is still
+                    # the carry (positions past the end are rewound below)
+                    pending = None
                 codes = self._shift_output_tokens(
                     np.stack(frames, axis=1)[1:]
                 )
