@@ -160,6 +160,53 @@ def test_pipelined_speculation_no_frame_leakage():
             np.testing.assert_array_equal(chunk.tokens, exp_tok)
 
 
+def test_randomized_soak_invariants(batcher):
+    """Randomized load through the shared batcher: many requests with
+    ragged prompt lengths, chunk counts, and budgets, submitted from
+    concurrent threads at temp>0. Checks the scheduler's structural
+    invariants (every request completes, one result per chunk, lengths
+    within budget, tokens in the legal vocab ranges) — the complement of
+    the exact-token tests, aimed at races/leaks under churn."""
+    rng = np.random.default_rng(11)
+    reqs = []
+    for i in range(9):
+        n_chunks = int(rng.integers(1, 4))
+        prompts = [make_prompt(int(rng.integers(3, 12))) for _ in range(n_chunks)]
+        cond_len = int(rng.integers(0, 3)) if n_chunks > 1 else 0
+        max_new = int(rng.integers(2, 8))
+        reqs.append((prompts, cond_len, max_new))
+
+    results = {}
+
+    def worker(i):
+        prompts, cond_len, max_new = reqs[i]
+        results[i] = [c for c in batcher.submit(prompts, cond_len, max_new)]
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(len(reqs))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert len(results) == len(reqs)
+    for i, (prompts, _, max_new) in enumerate(reqs):
+        chunks = results[i]
+        assert len(chunks) == len(prompts), f"request {i} lost chunks"
+        for c in chunks:
+            t = c.tokens.shape[1]
+            assert 1 <= t <= max_new, (i, t, max_new)
+            assert c.semantic.shape == (t,)
+            assert np.all(
+                (c.semantic == TOK.im_end_id)
+                | (
+                    (c.semantic >= TOK.semantic_start_id)
+                    & (c.semantic <= TOK.semantic_end_id)
+                )
+            )
+            assert np.all((c.tokens >= 0) & (c.tokens < CFG.codebook_size))
+
+
 def test_scheduler_death_propagates_to_waiters():
     """If the decode program raises, every waiting request gets the error
     instead of hanging (failure-detection parity: the reference surfaces
