@@ -64,6 +64,7 @@ def firefly_encode_mel(
 ) -> jnp.ndarray:
     """(B, n_mels, T) log-mel -> (B, num_codebooks, T') int codes
     (reference: encoder.rs:38-43)."""
+    mel = mel.astype(params["backbone"]["stem"]["conv"]["w"].dtype)
     features = convnext_encoder(mel, params["backbone"], cfg.backbone, cfg.version)
     return quantizer_encode(features, params["quantizer"], cfg.quantizer, cfg.version)
 

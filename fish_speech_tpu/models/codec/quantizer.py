@@ -47,7 +47,9 @@ def quantizer_decode(
     # einops 'b (g r) l -> g b l r'
     grouped = indices.reshape(b, g, q, t).transpose(1, 0, 3, 2)
     z = grfsq.grouped_decode(grouped, p["rvqs"], cfg)  # (B, T', dim)
-    z = z.transpose(0, 2, 1)
+    # FSQ lattice math runs f32 for exactness; enter the conv stack in
+    # the parameter dtype (bf16 codec is a supported mode, vocoder.rs:44-48)
+    z = z.transpose(0, 2, 1).astype(p["upsample"][0]["conv"]["w"].dtype)
     # Upsample: the reference builds the list reversed and iterates it
     # reversed again (quantizer.rs:69-94,126-132), so checkpoint index
     # order IS application order; stage i uses stride downsample_factor[i].

@@ -187,6 +187,30 @@ class TestFirefly:
         out = tiny_codec.decode(codes[0])
         assert out.shape[-1] == codes.shape[-1] * 2 * 64
 
+    def test_bf16_codec_decode_and_encode(self, tiny_codec):
+        """bf16 codec params must run both directions and stay close to
+        f32 — the reference's vocoder CLI loads the codec bf16
+        (bin/vocoder.rs:44-48) and our --bf16 flag maps to this path
+        (regression: the FSQ f32 lattice output used to crash the bf16
+        conv stack with a dtype mismatch)."""
+        p16 = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            tiny_codec.params,
+        )
+        c16 = FireflyCodec(p16, TINY, buckets=(8, 16, 32))
+        codes = np.random.default_rng(3).integers(0, 1000, size=(4, 10))
+        a32 = tiny_codec.decode(codes)
+        a16 = c16.decode(codes)
+        assert a16.shape == a32.shape
+        # bf16 GAN stack: coarse agreement (tanh output is O(1))
+        assert np.abs(a16.astype(np.float32) - a32).max() < 0.1
+
+        audio = np.random.default_rng(4).normal(size=64 * 32).astype(np.float32) * 0.1
+        codes16 = c16.encode(audio)
+        codes32 = tiny_codec.encode(audio)
+        assert codes16.shape == codes32.shape
+        assert (codes16 == codes32).mean() > 0.8  # argmin flips only near cell edges
+
     def test_quantizer_encode_decode_consistency(self):
         """decode(encode(z)) must reproduce the quantized features the
         encoder saw (same FSQ codewords through the rearrange)."""
