@@ -106,6 +106,84 @@ def test_encoder_cli_roundtrips_with_vocoder(codec_ckpt, tmp_path, monkeypatch):
     assert codes.shape[1] >= 1
 
 
+def test_server_main_startup_wiring(
+    checkpoint_dir, codec_ckpt, tmp_path, monkeypatch  # noqa: F811
+):
+    """server.main() end to end minus the listen loop: pipeline.load from
+    a full on-disk checkpoint (LM + codec in one dir), voice registry
+    load, warmup with per-voice conditioning lengths, and continuous
+    batcher creation — the reference's startup path
+    (server/src/main.rs:21-78, utils/load.rs, utils/mod.rs:17-55)."""
+    import json as _json
+    import shutil
+
+    from fish_speech_tpu.server import main as server_main
+    from tests.test_checkpoint import CFG
+
+    # assemble one checkpoint dir: LM files + codec weights file
+    ckpt = tmp_path / "ckpt"
+    shutil.copytree(checkpoint_dir, ckpt)
+    shutil.copy(
+        codec_ckpt / "firefly-gan-vq-fsq-8x1024-21hz-generator.safetensors",
+        ckpt,
+    )
+    voices = tmp_path / "voices"
+    voices.mkdir()
+    (voices / "index.json").write_text(
+        _json.dumps({"speakers": {"default": "hello world"}})
+    )
+    np.save(
+        voices / "default.npy",
+        np.random.default_rng(7)
+        .integers(0, CFG.codebook_size, size=(CFG.num_codebooks, 4))
+        .astype(np.uint32),
+    )
+
+    captured = {}
+    monkeypatch.setattr(
+        server_main, "serve", lambda state, port: captured.update(state=state)
+    )
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["prog", "--checkpoint", str(ckpt), "--voice-dir", str(voices),
+         "--warmup", "--continuous-batch", "2"],
+    )
+    server_main.main()
+    state = captured["state"]
+    try:
+        assert "default" in state.voices
+        assert state.batcher is not None
+        # the warmed batcher must serve immediately
+        req = state.batcher.submit(
+            [np.zeros((CFG.num_codebooks + 1, 4), np.int32)], 0, 3
+        )
+        chunks = [c for c in req]
+        assert len(chunks) == 1
+    finally:
+        state.batcher.shutdown()
+
+
+def test_api_firefly_codec_class(codec_ckpt):
+    """api.FireflyCodec with the PyO3 binding's ctor/shape contract
+    (reference: fish_speech_python/src/codec.rs:18-115): encode f32
+    (B, 1, T) -> uint32 (B, C, T'), decode -> f32 (B, 1, T*up)."""
+    from fish_speech_tpu.api import FireflyCodec as ApiCodec
+
+    codec = ApiCodec(str(codec_ckpt), version="1.5")
+    assert codec.sample_rate == CODEC_CFG.spec_transform.sample_rate
+    t = CODEC_CFG.spec_transform.hop_length * 40
+    audio = (np.random.default_rng(5).normal(size=(1, 1, t)) * 0.1).astype(
+        np.float32
+    )
+    codes = codec.encode(audio)
+    assert codes.dtype == np.uint32
+    assert codes.shape[0] == 1 and codes.shape[1] == NUM_CODEBOOKS
+    pcm = codec.decode(codes)
+    assert pcm.ndim == 3 and pcm.shape[:2] == (1, 1)
+    assert pcm.shape[-1] == codes.shape[-1] * 2 * CODEC_CFG.spec_transform.hop_length
+
+
 def test_llama_generate_cli(checkpoint_dir, tmp_path, monkeypatch):  # noqa: F811
     from fish_speech_tpu.cli import llama_generate
     from tests.test_checkpoint import CFG
