@@ -164,6 +164,30 @@ def test_server_main_startup_wiring(
         state.batcher.shutdown()
 
 
+def test_benchmark_cli_checkpoint_branch(
+    checkpoint_dir, codec_ckpt, tmp_path, monkeypatch  # noqa: F811
+):
+    """benchmark CLI (reference: server/src/bin/benchmark.rs) from a real
+    on-disk checkpoint: runs the unbatched / batch_size=1 / batch_size=4
+    scenarios through TTSPipeline.load."""
+    import shutil
+
+    from fish_speech_tpu.cli import benchmark
+
+    ckpt = tmp_path / "ckpt"
+    shutil.copytree(checkpoint_dir, ckpt)
+    shutil.copy(
+        codec_ckpt / "firefly-gan-vq-fsq-8x1024-21hz-generator.safetensors",
+        ckpt,
+    )
+    _run(
+        benchmark,
+        ["--checkpoint", str(ckpt), "--text", "hello world .",
+         "--max-new-tokens", "4"],
+        monkeypatch,
+    )
+
+
 def test_api_firefly_codec_class(codec_ckpt):
     """api.FireflyCodec with the PyO3 binding's ctor/shape contract
     (reference: fish_speech_python/src/codec.rs:18-115): encode f32
