@@ -21,14 +21,25 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    import os
+def _setup_fish15():
+    """Shared benchmark setup for every bench mode: platform/env config,
+    Fish-1.5-sized random weights on device, codec params, and a 40-token
+    prompt maker. Returns a namespace so main()/bench_continuous/
+    bench_ttfa measure the exact same configuration.
 
-    # Make the CPU backend available alongside the accelerator: random
-    # param init runs there (compiling the init graph on the TPU toolchain
-    # costs minutes and serializes the remote compile pool, starving the
-    # engine compiles behind it; the real loading path is host->device
-    # anyway, see io/checkpoint.py).
+    Platform: the CPU backend is made available alongside the accelerator
+    because random param init runs there (compiling the init graph on the
+    TPU toolchain costs minutes and serializes the remote compile pool);
+    weights are built device-side from ONE flat jax.random.normal
+    (host->device of ~1 GB through the device tunnel takes minutes) —
+    benchmark-only, real use loads checkpoints (io/checkpoint.py). The
+    im_end head column is zeroed so random-weight generations never
+    terminate early: every trial decodes its full length, and RTF is
+    wall-clock over audio actually generated.
+    """
+    import os
+    from types import SimpleNamespace
+
     plat = os.environ.get("JAX_PLATFORMS", "")
     if plat and "cpu" not in plat.split(","):
         os.environ["JAX_PLATFORMS"] = plat + ",cpu"
@@ -36,9 +47,8 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_fishtpu")
-    # Only persist genuinely slow compiles: caching every tiny eager CPU op
-    # pollutes the cache with host-specific AOT artifacts (machine-feature
-    # mismatches on reload).
+    # Only persist genuinely slow compiles: caching every tiny eager CPU
+    # op pollutes the cache with host-specific AOT artifacts.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
@@ -47,15 +57,11 @@ def main() -> None:
         FireflyConfig,
         FishVersion,
         TokenConfig,
-        WhichLM,
     )
-    from fish_speech_tpu.generate.engine import LMEngine
-    from fish_speech_tpu.models.codec.firefly import FireflyCodec, init_firefly_params
+    from fish_speech_tpu.models.codec.firefly import init_firefly_params
     from fish_speech_tpu.models.dual_ar import init_dual_ar_params
-    from fish_speech_tpu.ops.sampling import SamplingArgs
 
     log("devices:", jax.devices())
-
     cfg = DualARConfig.fish_speech_1_5()
     tok = TokenConfig(
         im_end_id=100011,
@@ -64,27 +70,13 @@ def main() -> None:
         semantic_end_id=100012 + cfg.codebook_size - 1,
     )
     codec_cfg = FireflyConfig.for_version(FishVersion.V1_5)
-    frame_rate = codec_cfg.frame_rate  # 21.533 Hz
 
-    # Device-side random init from ONE flat jax.random.normal + static
-    # slices. Why not just jit init_fn: its ~100 independent threefry
-    # calls compile for minutes on the TPU toolchain and serialize the
-    # remote compile pool, starving the engine compiles queued behind
-    # them. Why not init on CPU and device_put: host->device of ~1 GB
-    # through the device tunnel takes minutes. Benchmark-only: real use
-    # loads checkpoints (io/checkpoint.py).
     fast_device_init = _make_fast_device_init(jax, jnp)
-
     t0 = time.perf_counter()
     params = fast_device_init(
         lambda: init_dual_ar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16),
         seed=0,
     )
-    # Zero the im_end head column so random-weight generations never
-    # terminate early (same trick as cli/benchmark.py): every trial then
-    # decodes exactly n_frames, and RTF is wall-clock over audio actually
-    # generated — early EOS would otherwise understate RTF by timing a
-    # short generation while crediting padded-length audio.
     params["output"] = params["output"].at[:, tok.im_end_id].multiply(0.0)
     jax.block_until_ready(params)
     codec_params = fast_device_init(
@@ -94,23 +86,45 @@ def main() -> None:
     jax.block_until_ready(codec_params)
     log(f"param init: {time.perf_counter() - t0:.1f}s")
 
+    rng = np.random.default_rng(0)
+
+    def make_prompt():
+        return np.concatenate(
+            [
+                rng.integers(1000, 90000, size=(1, 40)),
+                np.zeros((cfg.num_codebooks, 40), np.int64),
+            ],
+            axis=0,
+        ).astype(np.int32)
+
+    return SimpleNamespace(
+        jax=jax, jnp=jnp, cfg=cfg, tok=tok, codec_cfg=codec_cfg,
+        params=params, codec_params=codec_params, make_prompt=make_prompt,
+        rng=rng,
+    )
+
+
+def main() -> None:
+    s = _setup_fish15()
+    jax, jnp = s.jax, s.jnp
+    cfg, tok, codec_cfg = s.cfg, s.tok, s.codec_cfg
+
+    from fish_speech_tpu.config import WhichLM
+    from fish_speech_tpu.generate.engine import LMEngine
+    from fish_speech_tpu.models.codec.firefly import FireflyCodec
+    from fish_speech_tpu.ops.sampling import SamplingArgs
+
+    frame_rate = codec_cfg.frame_rate  # 21.533 Hz
     n_frames = 128  # ~5.9 s of audio at 21.5 Hz
     engine = LMEngine(
-        params, cfg, tok, WhichLM.FISH_1_5,
+        s.params, cfg, tok, WhichLM.FISH_1_5,
         cache_len=2048, max_frames=n_frames, dtype=jnp.bfloat16,
         prompt_buckets=(64,),
     )
-    codec = FireflyCodec(codec_params, codec_cfg, buckets=(n_frames,))
+    codec = FireflyCodec(s.codec_params, codec_cfg, buckets=(n_frames,))
     sampling = SamplingArgs(temp=0.7, top_p=0.8, top_k=256, repetition_penalty=1.4)
-
-    rng = np.random.default_rng(0)
-    prompt = np.concatenate(
-        [
-            rng.integers(1000, 90000, size=(1, 40)),
-            np.zeros((cfg.num_codebooks, 40), np.int64),
-        ],
-        axis=0,
-    )
+    rng = s.rng
+    prompt = s.make_prompt()
 
     # Warmup: compiles prefill, decode loop, vocoder.
     t0 = time.perf_counter()
@@ -176,81 +190,31 @@ def bench_continuous(rows: int = 16) -> None:
     aggregate throughput equals single-stream; here rows share the decode
     program and the scheduler is pipelined (chunk N+1 dispatched before
     chunk N is drained)."""
-    import os
     import threading
 
-    plat = os.environ.get("JAX_PLATFORMS", "")
-    if plat and "cpu" not in plat.split(","):
-        os.environ["JAX_PLATFORMS"] = plat + ",cpu"
-    import jax
+    s = _setup_fish15()
+    jax, jnp = s.jax, s.jnp
+    cfg, tok, codec_cfg = s.cfg, s.tok, s.codec_cfg
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_fishtpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    import jax.numpy as jnp
-
-    from fish_speech_tpu.config import (
-        DualARConfig,
-        FireflyConfig,
-        FishVersion,
-        TokenConfig,
-        WhichLM,
-    )
+    from fish_speech_tpu.config import WhichLM
     from fish_speech_tpu.generate.continuous import ContinuousBatcher
     from fish_speech_tpu.generate.engine import LMEngine
-    from fish_speech_tpu.models.codec.firefly import (
-        FireflyCodec,
-        init_firefly_params,
-    )
-    from fish_speech_tpu.models.dual_ar import init_dual_ar_params
+    from fish_speech_tpu.models.codec.firefly import FireflyCodec
     from fish_speech_tpu.ops.sampling import (
         BATCHED_REP_PEN_WINDOW,
         SamplingArgs,
     )
 
-    # reuse main()'s init helpers by re-entering its setup inline
-    cfg = DualARConfig.fish_speech_1_5()
-    tok = TokenConfig(
-        im_end_id=100011,
-        pad_id=5,
-        semantic_start_id=100012,
-        semantic_end_id=100012 + cfg.codebook_size - 1,
-    )
-    codec_cfg = FireflyConfig.for_version(FishVersion.V1_5)
-    frame_rate = codec_cfg.frame_rate
-
-    _fast_init = _make_fast_device_init(jax, jnp)
-    params = _fast_init(
-        lambda: init_dual_ar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16),
-        seed=0,
-    )
-    params["output"] = params["output"].at[:, tok.im_end_id].multiply(0.0)
-    jax.block_until_ready(params)
-    codec_params = _fast_init(
-        lambda: init_firefly_params(jax.random.PRNGKey(1), codec_cfg, jnp.float32),
-        seed=1,
-    )
-    jax.block_until_ready(codec_params)
-
     n_frames = 128  # ~5.9 s of audio per request
     engine = LMEngine(
-        params, cfg, tok, WhichLM.FISH_1_5,
+        s.params, cfg, tok, WhichLM.FISH_1_5,
         batch_size=rows, cache_len=512, max_frames=n_frames,
         rep_pen_window=BATCHED_REP_PEN_WINDOW,
         dtype=jnp.bfloat16, prompt_buckets=(64,),
     )
-    codec = FireflyCodec(codec_params, codec_cfg, buckets=(n_frames,))
+    codec = FireflyCodec(s.codec_params, codec_cfg, buckets=(n_frames,))
     sampling = SamplingArgs(temp=0.7, top_p=0.8, top_k=256, repetition_penalty=1.4)
-
-    rng = np.random.default_rng(0)
-
-    def make_prompt():
-        return np.concatenate(
-            [
-                rng.integers(1000, 90000, size=(1, 40)),
-                np.zeros((cfg.num_codebooks, 40), np.int64),
-            ],
-            axis=0,
-        ).astype(np.int32)
+    make_prompt = s.make_prompt
 
     batcher = ContinuousBatcher(engine, sampling, horizon=16)
 
@@ -312,69 +276,24 @@ def bench_ttfa(trials: int = 11) -> None:
     (BASELINE north-star: < 300 ms on one v5e chip): prefill + one
     16-frame decode chunk + incremental causal vocode of those frames,
     timed to the first PCM bytes on the host."""
-    import os
+    s = _setup_fish15()
+    jax, jnp = s.jax, s.jnp
+    cfg, tok, codec_cfg = s.cfg, s.tok, s.codec_cfg
 
-    plat = os.environ.get("JAX_PLATFORMS", "")
-    if plat and "cpu" not in plat.split(","):
-        os.environ["JAX_PLATFORMS"] = plat + ",cpu"
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_fishtpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    import jax.numpy as jnp
-
-    from fish_speech_tpu.config import (
-        DualARConfig,
-        FireflyConfig,
-        FishVersion,
-        TokenConfig,
-        WhichLM,
-    )
+    from fish_speech_tpu.config import WhichLM
     from fish_speech_tpu.generate.engine import LMEngine
-    from fish_speech_tpu.models.codec.firefly import (
-        FireflyCodec,
-        init_firefly_params,
-    )
-    from fish_speech_tpu.models.dual_ar import init_dual_ar_params
+    from fish_speech_tpu.models.codec.firefly import FireflyCodec
     from fish_speech_tpu.ops.sampling import SamplingArgs
-
-    cfg = DualARConfig.fish_speech_1_5()
-    tok = TokenConfig(
-        im_end_id=100011,
-        pad_id=5,
-        semantic_start_id=100012,
-        semantic_end_id=100012 + cfg.codebook_size - 1,
-    )
-    codec_cfg = FireflyConfig.for_version(FishVersion.V1_5)
-    fi = _make_fast_device_init(jax, jnp)
-    params = fi(
-        lambda: init_dual_ar_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16),
-        0,
-    )
-    params["output"] = params["output"].at[:, tok.im_end_id].multiply(0.0)
-    jax.block_until_ready(params)
-    codec_params = fi(
-        lambda: init_firefly_params(jax.random.PRNGKey(1), codec_cfg, jnp.float32),
-        1,
-    )
-    jax.block_until_ready(codec_params)
 
     frame_chunk = 16
     engine = LMEngine(
-        params, cfg, tok, WhichLM.FISH_1_5,
+        s.params, cfg, tok, WhichLM.FISH_1_5,
         cache_len=512, max_frames=frame_chunk,
         dtype=jnp.bfloat16, prompt_buckets=(64,),
     )
-    codec = FireflyCodec(codec_params, codec_cfg, buckets=(32,))
+    codec = FireflyCodec(s.codec_params, codec_cfg, buckets=(32,))
     sampling = SamplingArgs(temp=0.7, top_p=0.8, top_k=256, repetition_penalty=1.4)
-    rng = np.random.default_rng(0)
-    prompt = np.concatenate(
-        [
-            rng.integers(1000, 90000, size=(1, 40)),
-            np.zeros((cfg.num_codebooks, 40), np.int64),
-        ],
-        axis=0,
-    )
+    prompt = s.make_prompt()
 
     def first_audio():
         """One request's path to first PCM: returns (ttfa_s, n_samples)."""

@@ -694,7 +694,10 @@ class LMEngine:
         seen = set()
         for bucket in buckets or self.prompt_buckets:
             for cond in conditioning_lens:
-                if cond + bucket + 1 > self.cache_len:
+                # prefill writes [cond, cond+bucket) — no +1: warmup never
+                # decodes past the prefill, and the largest bucket
+                # (== cache_len) must stay warmable at offset 0
+                if cond + bucket > self.cache_len:
                     continue
                 key = (bucket, self._kv_extent_for(cond, bucket))
                 if key in seen:

@@ -325,8 +325,14 @@ class TTSPipeline:
             while pending is not None:
                 state, out, valid, steps = pending
                 done_dev = jnp.copy(state.done)  # state is donated next
-                pending = engine.decode_chunk(state, sampling, frame_chunk)
-                state = pending[0]
+                # speculate only if the in-flight chunk cannot already
+                # exhaust the budget — a budget-truncated final chunk
+                # would otherwise burn a full discarded horizon of decode
+                if len(frames) - 1 + frame_chunk < budget:
+                    pending = engine.decode_chunk(state, sampling, frame_chunk)
+                    state = pending[0]
+                else:
+                    pending = None
                 out, valid, steps, done_arr = jax.device_get(
                     (out, valid, steps, done_dev)
                 )
