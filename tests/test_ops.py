@@ -177,6 +177,90 @@ class TestSampling:
         assert out.dtype == jnp.int32
 
 
+class TestSamplingDistribution:
+    """Distributional golden tests vs an independent numpy implementation
+    of candle's `Sampling::TopKThenTopP` (the reference's sampler,
+    lm/sampling/mod.rs:88-109 + candle LogitsProcessor): softmax, top-k
+    (sorted desc), keep while the exclusive cumulative probability is
+    < top_p (first always kept), multinomial over the kept mass."""
+
+    @staticmethod
+    def _analytic_top_k_top_p(logits, temp, top_k, top_p):
+        """Exact per-token sampling probabilities under the reference
+        semantics, computed independently in numpy float64."""
+        z = np.asarray(logits, np.float64) / temp
+        probs = np.exp(z - z.max())
+        probs /= probs.sum()
+        order = np.argsort(-probs, kind="stable")
+        kept = order[:top_k]
+        kept_probs = probs[kept]
+        if 0.0 < top_p < 1.0:
+            cum_excl = np.cumsum(kept_probs) - kept_probs
+            kept = kept[cum_excl < top_p]
+            kept_probs = probs[kept]
+        out = np.zeros_like(probs)
+        out[kept] = kept_probs / kept_probs.sum()
+        return out
+
+    def test_matches_analytic_distribution(self):
+        rng = np.random.default_rng(7)
+        logits = jnp.asarray(rng.normal(0.0, 2.0, size=50), jnp.float32)
+        temp, top_k, top_p = 0.7, 10, 0.8
+        expected = self._analytic_top_k_top_p(logits, temp, top_k, top_p)
+
+        n = 50_000
+        draws = sample_top_k_top_p(
+            jnp.broadcast_to(logits, (n, 50)),
+            jax.random.PRNGKey(0),
+            temp=temp,
+            top_p=top_p,
+            top_k=top_k,
+        )
+        freq = np.bincount(np.asarray(draws), minlength=50) / n
+
+        # exact support match (zero-probability tokens are never drawn)
+        assert set(np.nonzero(freq)[0]) <= set(np.nonzero(expected)[0])
+        # total-variation distance small at n=50k
+        tv = 0.5 * np.abs(freq - expected).sum()
+        assert tv < 0.015, f"TV distance {tv:.4f} vs analytic distribution"
+        # per-token binomial 5-sigma bound
+        sigma = np.sqrt(expected * (1 - expected) / n)
+        assert np.all(np.abs(freq - expected) <= 5 * sigma + 1e-9)
+
+    def test_top_p_one_matches_plain_top_k(self):
+        """top_p=1.0 disables the nucleus stage entirely."""
+        rng = np.random.default_rng(3)
+        logits = jnp.asarray(rng.normal(size=20), jnp.float32)
+        expected = self._analytic_top_k_top_p(logits, 1.0, 5, 1.0)
+        n = 30_000
+        draws = sample_top_k_top_p(
+            jnp.broadcast_to(logits, (n, 20)),
+            jax.random.PRNGKey(1),
+            temp=1.0,
+            top_p=1.0,
+            top_k=5,
+        )
+        freq = np.bincount(np.asarray(draws), minlength=20) / n
+        assert 0.5 * np.abs(freq - expected).sum() < 0.015
+
+    def test_legacy_pad_eos_distribution(self):
+        """Two-way softmax draw matches the analytic sigmoid
+        (reference: lm/sampling/mod.rs:8-26)."""
+        pad_logit, eos_logit = 0.4, -0.3
+        p_pad = 1.0 / (1.0 + np.exp(eos_logit - pad_logit))
+        n = 50_000
+        out = legacy_pad_eos_sample(
+            jnp.full((n,), pad_logit),
+            jnp.full((n,), eos_logit),
+            pad_id=5,
+            eos_id=4,
+            rng=jax.random.PRNGKey(2),
+        )
+        emp = float(np.mean(np.asarray(out) == 5))
+        sigma = np.sqrt(p_pad * (1 - p_pad) / n)
+        assert abs(emp - p_pad) < 5 * sigma
+
+
 class TestRepPen:
     def test_membership_penalty(self):
         w = RepPenWindow.init((1,), window=4)
