@@ -178,3 +178,66 @@ def test_collect_hidden_states(engine):
     assert res.hidden.dtype == np.float32
     assert np.isfinite(res.hidden).all()
     assert np.abs(res.hidden).max() > 0
+
+
+class TestNoRetracing:
+    """The bucket design's core promise: arbitrary request shapes reuse a
+    bounded set of compilations (SURVEY §7 hard-part #1). A fresh trace
+    per request would be a multi-second stall on the TPU toolchain, so
+    this guards the property directly via the jit cache sizes."""
+
+    def test_same_bucket_prompts_share_one_compilation(self):
+        params = init_dual_ar_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+        eng = LMEngine(
+            params, CFG, TOK, WhichLM.FISH_1_5,
+            cache_len=64, max_frames=16, dtype=jnp.float32,
+            prompt_buckets=(16, 32),
+        )
+        s = SamplingArgs(temp=0.0)
+        for seq in (5, 9, 12, 16):  # all land in the 16-bucket
+            eng.generate(make_prompt(seq), max_new_tokens=3, sampling=s, seed=0)
+
+        assert len(eng._prefill_jit) == 1
+        (prefill_fn,) = eng._prefill_jit.values()
+        assert prefill_fn._cache_size() == 1
+        # one decode-loop variant, one trace, regardless of max_new_tokens
+        eng.generate(make_prompt(8), max_new_tokens=5, sampling=s, seed=0)
+        assert all(f._cache_size() == 1 for f in eng._decode_jit.values())
+        assert len(eng._decode_jit) == 1
+
+        # a longer prompt crosses into the 32-bucket: exactly one new
+        # prefill program, decode untouched
+        eng.generate(make_prompt(20), max_new_tokens=3, sampling=s, seed=0)
+        assert len(eng._prefill_jit) == 2
+        assert all(f._cache_size() == 1 for f in eng._prefill_jit.values())
+        assert len(eng._decode_jit) == 1
+
+    def test_conditioning_rewind_does_not_retrace(self):
+        """Chunked generation with prefix reuse (LMEngine.rewind) must stay
+        inside the compiled set — the serving loop does this per chunk."""
+        params = init_dual_ar_params(jax.random.PRNGKey(1), CFG, dtype=jnp.float32)
+        eng = LMEngine(
+            params, CFG, TOK, WhichLM.FISH_1_5,
+            cache_len=64, max_frames=8, dtype=jnp.float32,
+            prompt_buckets=(16, 32),
+        )
+        s = SamplingArgs(temp=0.0)
+        state = eng.init_state(seed=3)
+        _, state = eng.generate(
+            make_prompt(10), max_new_tokens=3, sampling=s, state=state
+        )
+        # chunked continuation: same chunk shape at the same conditioning
+        # offset must compile at most one offset variant, then reuse it
+        for i in range(3):
+            state = eng.rewind(state, 10)
+            _, state = eng.generate(
+                make_prompt(12) + 1, max_new_tokens=3, sampling=s,
+                state=state, conditioning_offset=10,
+            )
+            if i == 0:
+                snapshot = {
+                    k: f._cache_size() for k, f in eng._prefill_jit.items()
+                }
+        after = {k: f._cache_size() for k, f in eng._prefill_jit.items()}
+        assert snapshot == after, "chunk repeats retraced the prefill"
+        assert all(f._cache_size() == 1 for f in eng._decode_jit.values())
