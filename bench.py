@@ -302,9 +302,13 @@ def bench_ttfa(trials: int = 11) -> None:
     prompt = s.make_prompt()
 
     def first_audio():
-        """One request's path to first PCM: returns (ttfa_s, n_samples)."""
+        """One request's path to first PCM: returns (ttfa_s, n_samples).
+        Vocoding goes through the carried-state streaming session
+        (FireflyCodec.start_stream) — the same path the serving pipeline
+        uses (pipeline.synthesize_streaming_lowlatency)."""
         t0 = time.perf_counter()
         state = engine.init_state(0)
+        stream = codec.start_stream(max_step_frames=frame_chunk)
         state, first, _, _ = engine._prefill_raw(state, prompt, sampling)
         frames = [np.asarray(first)[0]]
         state, out, valid, steps = engine.decode_chunk(
@@ -315,7 +319,7 @@ def bench_ttfa(trials: int = 11) -> None:
             if valid[s, 0]:
                 frames.append(out[s, 0])
         codes = np.stack(frames, axis=1)[1:]
-        pcm = codec.decode_tail(codes, codes.shape[1], context_frames=32)
+        pcm = stream.feed(codes)[0]
         return time.perf_counter() - t0, pcm.shape[-1]
 
     first_audio()  # compile everything

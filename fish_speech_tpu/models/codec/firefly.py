@@ -101,6 +101,7 @@ class FireflyCodec:
         # compiler per program and blow compile time up by >10x on TPU.
         self._decode_jit = jax.jit(self._decode_fn)
         self._encode_jit = jax.jit(self._encode_fn)
+        self._step_jit: Dict = {}
 
     def _decode_fn(self, params, indices, feature_lengths):
         return firefly_decode(params, self.cfg, indices, feature_lengths)
@@ -191,3 +192,99 @@ class FireflyCodec:
             n_samples, self.cfg.spec_transform.n_fft, self.cfg.spec_transform.hop_length
         )
         return f // self.cfg.quantizer.total_downsample
+
+    # -- streaming (carried-state; Fish 1.4+ only) -------------------------
+
+    @property
+    def can_stream(self) -> bool:
+        """Fish 1.4+ decode is fully causal (FishConvNet left-pad /
+        FishTransConvNet right-trim, codec/utils/mod.rs:53-62,110-122);
+        1.2's symmetric padding is not streamable."""
+        return self.cfg.version != FishVersion.V1_2
+
+    def start_stream(
+        self, batch: int = 1, max_step_frames: int = 32
+    ) -> "FireflyStreamSession":
+        """Open a carried-state streaming decode session: feed code frames
+        incrementally, receive exactly the PCM the batch decode would
+        produce for the growing prefix — each frame decoded ONCE (vs
+        decode_tail's left-context recompute). Same session API as
+        MimiCodec.start_stream."""
+        if not self.can_stream:
+            raise ValueError("Fish 1.2 codec decode is not streamable")
+        # The zero init state is immutable (sessions thread NEW state
+        # through decode_step), so one template per batch size is shared by
+        # every session: building ~126 zero leaves eagerly costs ~250 ms of
+        # per-leaf dispatch through a remote device tunnel per request
+        # otherwise (measured; see docs/TPU_NOTES.md).
+        if not hasattr(self, "_stream_init_cache"):
+            self._stream_init_cache = {}
+        if batch not in self._stream_init_cache:
+            from fish_speech_tpu.models.codec.firefly_stream import (
+                stream_state_init,
+            )
+
+            self._stream_init_cache[batch] = stream_state_init(
+                self.params, self.cfg, batch
+            )
+        return FireflyStreamSession(self, batch, max_step_frames)
+
+    def decode_step(self, codes: np.ndarray, state):
+        """One streaming step: codes (C, t) or (B, C, t) -> (pcm
+        (B, t*ds*hop), new_state). Use start_stream() for chunk-size
+        bucketing; state comes from firefly_stream.stream_state_init."""
+        from fish_speech_tpu.models.codec.firefly_stream import (
+            firefly_decode_step,
+        )
+
+        codes = np.asarray(codes)
+        if codes.ndim == 2:
+            codes = codes[None]
+        key = ("step", codes.shape)
+        if key not in self._step_jit:
+            self._step_jit[key] = jax.jit(
+                lambda p, c, s: firefly_decode_step(c, p, self.cfg, s)
+            )
+        audio, state = self._step_jit[key](
+            self.params, jnp.asarray(codes, jnp.int32), state
+        )
+        return np.asarray(audio, np.float32)[:, 0, :], state
+
+
+class FireflyStreamSession:
+    """Stateful incremental Firefly decoder over one audio stream.
+
+    feed(codes (C, t)) returns the PCM for exactly those t frames; the
+    concatenation over calls equals FireflyCodec.decode of the full code
+    sequence. Chunks are decomposed into power-of-two pieces so at most
+    log2(max_step)+1 distinct chunk lengths ever reach the jit cache."""
+
+    def __init__(self, codec: FireflyCodec, batch: int, max_step_frames: int):
+        self.codec = codec
+        self.batch = batch
+        self.max_step = 1 << (max(1, max_step_frames) - 1).bit_length()
+        self.state = codec._stream_init_cache[batch]
+
+    def feed(self, codes: np.ndarray) -> np.ndarray:
+        codes = np.asarray(codes)
+        if codes.ndim == 2:
+            codes = codes[None]
+        parts = []
+        s, t = 0, codes.shape[-1]
+        while s < t:
+            step = min(self.max_step, t - s)
+            step = 1 << (step.bit_length() - 1)
+            pcm, self.state = self.codec.decode_step(
+                codes[..., s : s + step], self.state
+            )
+            parts.append(pcm)
+            s += step
+        if not parts:
+            return np.zeros((codes.shape[0], 0), np.float32)
+        return np.concatenate(parts, axis=-1)
+
+    def reset(self, batch: Optional[int] = None) -> None:
+        if batch is not None and batch != self.batch:
+            self.batch = batch
+            self.codec.start_stream(batch, self.max_step)  # fill the cache
+        self.state = self.codec._stream_init_cache[self.batch]

@@ -31,6 +31,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fish_speech_tpu.models.codec.stream_conv import (
+    conv_state as _conv_state,
+    conv_transpose_raw,
+    stream_conv1d as _stream_conv1d,
+    stream_conv_transpose1d as _stream_conv_transpose1d,
+)
+
 
 @dataclasses.dataclass(frozen=True)
 class MimiConfig:
@@ -134,56 +141,6 @@ def mimi_conv1d(
     return out
 
 
-def _conv_transpose_raw(
-    x: jnp.ndarray, w: jnp.ndarray, stride: int, groups: int = 1
-) -> jnp.ndarray:
-    """Full (untrimmed, bias-free) transposed conv, torch semantics.
-    x: (B, C_in, T); w: (C_in, C_out/groups, K) -> (B, C_out, (T-1)*s+K)."""
-    k = w.shape[-1]
-    if groups > 1:
-        # grouped transposed conv: torch weight (C_in, C_out/groups, K).
-        # XLA's conv_transpose has no grouping; with C_in == groups *
-        # (C_in/groups) run as batched independent convs via feature_group
-        # on the equivalent fractionally-strided regular conv.
-        c_in = x.shape[1]
-        # transposed conv == insert (stride-1) zeros between inputs, pad by
-        # k-1, and correlate with the kernel reversed along time.
-        x_dil = jnp.zeros(
-            (x.shape[0], c_in, (x.shape[-1] - 1) * stride + 1), x.dtype
-        )
-        x_dil = x_dil.at[:, :, ::stride].set(x)
-        x_dil = jnp.pad(x_dil, ((0, 0), (0, 0), (k - 1, k - 1)))
-        # torch transposed-conv weight (C_in, C_out/g, K) -> regular-conv
-        # weight (C_out, C_in/g, K) with kernel reversed
-        g_in = c_in // groups
-        w_reg = w.reshape(groups, g_in, w.shape[1], k)
-        w_reg = jnp.flip(w_reg, axis=-1)
-        w_reg = w_reg.transpose(0, 2, 1, 3).reshape(
-            groups * w.shape[1], g_in, k
-        )
-        out = jax.lax.conv_general_dilated(
-            x_dil,
-            w_reg,
-            window_strides=(1,),
-            padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            feature_group_count=groups,
-        )
-    else:
-        # transpose_kernel=True matches torch ConvTranspose1d (gradient of
-        # conv: zero-insertion + correlation with the flipped kernel)
-        out = jax.lax.conv_transpose(
-            x,
-            w,
-            strides=(stride,),
-            padding="VALID",
-            # torch weight (C_in, C_out, K) is the FORWARD conv's (O, I, K)
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            transpose_kernel=True,
-        )
-    return out
-
-
 def mimi_conv_transpose1d(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -197,7 +154,7 @@ def mimi_conv_transpose1d(
     from the left. w: (C_in, C_out/groups, K) torch layout.
     """
     k = w.shape[-1]
-    out = _conv_transpose_raw(x, w, stride, groups)
+    out = conv_transpose_raw(x, w, stride=stride, groups=groups)
     if b is not None:
         out = out + b[None, :, None]
     pad_total = k - stride
@@ -271,48 +228,6 @@ def seanet_decode(x: jnp.ndarray, params: Dict, cfg: MimiConfig) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 
 
-def _stream_conv1d(x, w, b, state, stride: int = 1, dilation: int = 1):
-    """Streaming causal conv: `state` holds the previous pad_left input
-    samples (zeros initially == the batch path's left zero-pad). Chunk
-    length must be a multiple of `stride` so no right pad is needed."""
-    k_eff = (w.shape[-1] - 1) * dilation + 1
-    pad_left = k_eff - stride
-    if pad_left:
-        xin = jnp.concatenate([state, x], axis=-1)
-        new_state = xin[..., xin.shape[-1] - pad_left :]
-    else:
-        xin, new_state = x, state
-    out = jax.lax.conv_general_dilated(
-        xin,
-        w,
-        window_strides=(stride,),
-        padding="VALID",
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )
-    if b is not None:
-        out = out + b[None, :, None]
-    return out, new_state
-
-
-def _stream_conv_transpose1d(x, w, b, state, stride: int, groups: int = 1):
-    """Streaming causal transposed conv (trim_right_ratio == 1): overlap-add
-    the carried (bias-free) tail onto this chunk's head, emit T*stride
-    samples, carry the new K-stride tail."""
-    k = w.shape[-1]
-    out = _conv_transpose_raw(x, w, stride, groups)  # (B, C, T*s + k - s)
-    tail = k - stride
-    if tail:
-        out = out.at[..., :tail].add(state)
-        new_state = out[..., out.shape[-1] - tail :]
-        out = out[..., : out.shape[-1] - tail]
-    else:
-        new_state = state
-    if b is not None:
-        out = out + b[None, :, None]
-    return out, new_state
-
-
 def _stream_resnet_block(x, p, dilation: int, state):
     h = jax.nn.elu(x)
     h, s1 = _stream_conv1d(
@@ -321,11 +236,6 @@ def _stream_resnet_block(x, p, dilation: int, state):
     h = jax.nn.elu(h)
     h, s2 = _stream_conv1d(h, p["block.3.w"], p["block.3.b"], state[1])
     return x + h, (s1, s2)
-
-
-def _conv_state(batch, c_in, k, stride=1, dilation=1, dtype=jnp.float32):
-    pad_left = (k - 1) * dilation + 1 - stride
-    return jnp.zeros((batch, c_in, pad_left), dtype)
 
 
 def seanet_decode_stream_init(params: Dict, cfg: MimiConfig, batch: int):
@@ -844,6 +754,12 @@ class MimiCodec:
 
     # -- streaming (reference: server/lib/audio/mimi.rs:52-88) -------------
 
+    @property
+    def can_stream(self) -> bool:
+        """Every op in the Mimi decode path is causal; streaming via
+        start_stream is always available."""
+        return True
+
     def start_stream(
         self, batch: int = 1, max_step_frames: int = 32
     ) -> "MimiStreamSession":
@@ -890,9 +806,18 @@ class MimiStreamSession:
         # lengths ever reach the jit cache (a ragged tail would otherwise
         # compile the full decoder once per novel length, mid-stream)
         self.max_step = 1 << (max(1, max_step_frames) - 1).bit_length()
-        self.state = mimi_decode_stream_init(
-            codec.params, codec.cfg, batch, max_step=self._tsteps()
-        )
+        # the zero init state is immutable (feed threads NEW state through
+        # decode_step), so one template per (batch, tsteps) is shared by
+        # every session — per-session eager zero-building costs hundreds of
+        # ms of per-leaf dispatch through a remote device tunnel otherwise
+        if not hasattr(codec, "_stream_init_cache"):
+            codec._stream_init_cache = {}
+        key = (batch, self._tsteps())
+        if key not in codec._stream_init_cache:
+            codec._stream_init_cache[key] = mimi_decode_stream_init(
+                codec.params, codec.cfg, batch, max_step=self._tsteps()
+            )
+        self.state = codec._stream_init_cache[key]
 
     def _tsteps(self) -> int:
         return self.max_step * (2 if self.codec.cfg.has_resample else 1)
@@ -921,7 +846,11 @@ class MimiStreamSession:
         batch size unless explicitly overridden."""
         if batch is not None:
             self.batch = batch
-        self.state = mimi_decode_stream_init(
-            self.codec.params, self.codec.cfg, self.batch,
-            max_step=self._tsteps(),
-        )
+        key = (self.batch, self._tsteps())
+        cache = self.codec._stream_init_cache
+        if key not in cache:
+            cache[key] = mimi_decode_stream_init(
+                self.codec.params, self.codec.cfg, self.batch,
+                max_step=self._tsteps(),
+            )
+        self.state = cache[key]

@@ -1,0 +1,123 @@
+"""Generic carried-state streaming primitives for causal 1-D conv stacks.
+
+Both streaming codecs are built on these: Mimi's SEANet decoder
+(models/codec/mimi.py) and the Firefly streaming decoder
+(models/codec/firefly_stream.py). The contract: feeding a sequence in
+chunks of any sizes produces exactly the concatenation the whole-sequence
+(batch) decode would — because
+
+* a causal conv (left zero-pad of (k-1)*d + 1 - stride, the Fish 1.4+
+  FishConvNet convention, reference codec/utils/mod.rs:53-62, which the
+  streaming state reproduces by carrying the last pad_left input samples;
+  zeros initially == the batch path's zero pad), and
+* a causal transposed conv (right-trim of k - stride, FishTransConvNet,
+  mod.rs:110-122) whose trimmed tail is exactly the contribution of the
+  current chunk into the next chunk's first samples — carried and
+  overlap-added instead of trimmed.
+
+are the only time-coupled ops; everything else is pointwise per position.
+
+Weights follow torch layout: conv (O, I/groups, K); transposed conv
+(I, O/groups, K).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def conv_state(batch, c_in, k, *, stride=1, dilation=1, dtype=jnp.float32):
+    """Zero-initialized carried input tail for `stream_conv1d`."""
+    pad_left = (k - 1) * dilation + 1 - stride
+    return jnp.zeros((batch, c_in, pad_left), dtype)
+
+
+def conv_transpose_state(batch, c_out, k, *, stride, dtype=jnp.float32):
+    """Zero-initialized carried output tail for `stream_conv_transpose1d`."""
+    return jnp.zeros((batch, c_out, max(k - stride, 0)), dtype)
+
+
+def stream_conv1d(x, w, b, state, *, stride=1, dilation=1, groups=1):
+    """Streaming causal conv: `state` holds the previous pad_left input
+    samples (zeros initially == the batch path's left zero-pad). Chunk
+    length must be a multiple of `stride` so no right pad is needed.
+    Returns (out, new_state)."""
+    k_eff = (w.shape[-1] - 1) * dilation + 1
+    pad_left = k_eff - stride
+    if pad_left:
+        xin = jnp.concatenate([state, x], axis=-1)
+        new_state = xin[..., xin.shape[-1] - pad_left :]
+    else:
+        xin, new_state = x, state
+    out = jax.lax.conv_general_dilated(
+        xin,
+        w,
+        window_strides=(stride,),
+        padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+    )
+    if b is not None:
+        out = out + b[None, :, None]
+    return out, new_state
+
+
+def conv_transpose_raw(x, w, *, stride: int, groups: int = 1):
+    """Full (untrimmed, bias-free) transposed conv, torch semantics.
+    x: (B, C_in, T); w: (C_in, C_out/groups, K) -> (B, C_out, (T-1)*s+K)."""
+    k = w.shape[-1]
+    if groups > 1:
+        # grouped transposed conv: XLA's conv_transpose has no grouping;
+        # run the equivalent fractionally-strided regular conv
+        # (zero-insert stride-1 between inputs, pad k-1, correlate with
+        # the time-reversed kernel) with feature_group_count.
+        c_in = x.shape[1]
+        x_dil = jnp.zeros(
+            (x.shape[0], c_in, (x.shape[-1] - 1) * stride + 1), x.dtype
+        )
+        x_dil = x_dil.at[:, :, ::stride].set(x)
+        x_dil = jnp.pad(x_dil, ((0, 0), (0, 0), (k - 1, k - 1)))
+        g_in = c_in // groups
+        w_reg = w.reshape(groups, g_in, w.shape[1], k)
+        w_reg = jnp.flip(w_reg, axis=-1)
+        w_reg = w_reg.transpose(0, 2, 1, 3).reshape(groups * w.shape[1], g_in, k)
+        return jax.lax.conv_general_dilated(
+            x_dil,
+            w_reg,
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=groups,
+        )
+    # transpose_kernel=True matches torch ConvTranspose1d (gradient of
+    # conv: zero-insertion + correlation with the flipped kernel); torch
+    # weight (C_in, C_out, K) is the FORWARD conv's (O, I, K).
+    return jax.lax.conv_transpose(
+        x,
+        w,
+        strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        transpose_kernel=True,
+    )
+
+
+def stream_conv_transpose1d(x, w, b, state, *, stride, groups=1):
+    """Streaming causal transposed conv (right-trim convention):
+    overlap-add the carried (bias-free) tail onto this chunk's head, emit
+    T*stride samples, carry the new k-stride tail. Returns
+    (out, new_state)."""
+    k = w.shape[-1]
+    out = conv_transpose_raw(x, w, stride=stride, groups=groups)
+    tail = k - stride
+    if tail:
+        out = out.at[..., :tail].add(state)
+        new_state = out[..., out.shape[-1] - tail :]
+        out = out[..., : out.shape[-1] - tail]
+    else:
+        new_state = state
+    if b is not None:
+        out = out + b[None, :, None]
+    return out, new_state

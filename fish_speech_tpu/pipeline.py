@@ -270,10 +270,12 @@ class TTSPipeline:
 
         No runaway reroll in this mode (audio already streamed can't be
         retracted); runaway chunks are truncated at the budget. Requires a
-        causal codec: Fish 1.4+ (FireflyCodec.decode_tail recompute with
-        causal left context) or Mimi for DualAR/smoltts models (true
-        carried-state streaming via MimiCodec.start_stream — the
-        reference's decode_step, mimi.rs:52-88).
+        causal codec. Both codecs stream with TRUE carried state — each
+        frame is vocoded once: Firefly 1.4+ via FireflyCodec.start_stream
+        (models/codec/firefly_stream.py) and Mimi via
+        MimiCodec.start_stream (the reference's decode_step,
+        mimi.rs:52-88). Fish 1.2 (non-causal convs) falls back to the
+        decode_tail left-context recompute.
         """
         sampling = sampling or self.default_sampling
         chunks = preprocess_text(text)
@@ -291,7 +293,7 @@ class TTSPipeline:
         engine = self.engine
         state = engine.init_state(seed)
         cond_len = 0
-        use_mimi_stream = hasattr(self.codec, "start_stream")
+        use_stream = getattr(self.codec, "can_stream", False)
         for i, chunk_tokens in enumerate(encoded):
             offset = cond_len if i > 0 else 0
             # one codec stream per text chunk (chunks are independent
@@ -299,7 +301,7 @@ class TTSPipeline:
             # audio/codec.rs:41-43)
             stream = (
                 self.codec.start_stream(max_step_frames=frame_chunk)
-                if use_mimi_stream
+                if use_stream
                 else None
             )
             state, first_frame, first_eos, _ = engine._prefill_raw(

@@ -236,3 +236,53 @@ class TestFirefly:
         big = FireflyCodec(tiny_codec.params, TINY, buckets=(10,))
         b = big.decode(codes)
         np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+class TestFireflyStreaming:
+    """Carried-state streaming decode (models/codec/firefly_stream.py):
+    stream == batch exactly, for any chunking. The reference has no
+    Firefly streaming at all (it vocodes whole text chunks,
+    handlers/speech.rs:94-110); this is the TPU build's TTFA machinery."""
+
+    def test_stream_equals_batch_any_chunking(self, tiny_codec):
+        codes = np.random.default_rng(7).integers(0, 1000, size=(4, 37))
+        ref = tiny_codec.decode(codes)[0]
+        for chunking in ([37], [5, 16, 16], [1] * 37, [2, 3, 32]):
+            sess = tiny_codec.start_stream(max_step_frames=16)
+            parts, s = [], 0
+            for n in chunking:
+                parts.append(sess.feed(codes[:, s : s + n])[0])
+                s += n
+            out = np.concatenate(parts)
+            assert out.shape == ref.shape
+            np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_session_reset_restarts_stream(self, tiny_codec):
+        codes = np.random.default_rng(8).integers(0, 1000, size=(4, 12))
+        sess = tiny_codec.start_stream(max_step_frames=8)
+        first = sess.feed(codes)
+        sess.reset()
+        again = sess.feed(codes)
+        np.testing.assert_allclose(first, again, atol=0)
+
+    def test_fish_1_2_not_streamable(self, tiny_codec):
+        import dataclasses
+
+        cfg12 = dataclasses.replace(TINY, version=FishVersion.V1_2)
+        c12 = FireflyCodec(tiny_codec.params, cfg12, buckets=(8, 16, 32))
+        assert not c12.can_stream
+        with pytest.raises(ValueError):
+            c12.start_stream()
+
+    def test_bf16_stream_runs_and_tracks_f32(self, tiny_codec):
+        p16 = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            tiny_codec.params,
+        )
+        c16 = FireflyCodec(p16, TINY, buckets=(8, 16, 32))
+        codes = np.random.default_rng(9).integers(0, 1000, size=(4, 20))
+        sess = c16.start_stream(max_step_frames=16)
+        out = sess.feed(codes)[0]
+        ref = tiny_codec.decode(codes)[0]
+        assert out.shape == ref.shape
+        assert np.abs(out.astype(np.float32) - ref).max() < 0.1  # tanh O(1)
