@@ -82,7 +82,7 @@ def _setup_fish15():
     jax.block_until_ready(params)
     # bf16 vocoder: the reference's own CLI vocoder runs the codec bf16 on
     # the accelerator (bin/vocoder.rs:44-48 picks BF16 under the cuda
-    # feature); measured on v5e it is 1.5x faster than f32 (110 -> 74 ms
+    # feature); measured on v5e it is ~1.5x faster than f32 (110 -> ~70 ms
     # per 128-frame decode) with CI-bounded agreement vs f32
     # (tests/test_codec.py::test_bf16_codec_decode_and_encode).
     codec_params = fast_device_init(

@@ -20,6 +20,7 @@ from fish_speech_tpu.audio.mel import LogMelSpectrogram, num_frames
 from fish_speech_tpu.config import FireflyConfig, FishVersion
 from fish_speech_tpu.models.codec.convnext import convnext_encoder, init_convnext_encoder
 from fish_speech_tpu.models.codec.hifigan import hifigan_forward, init_hifigan_params
+from fish_speech_tpu.models.codec.stream_conv import StreamSessionBase
 from fish_speech_tpu.models.codec.quantizer import (
     init_quantizer_params,
     quantizer_decode,
@@ -102,6 +103,7 @@ class FireflyCodec:
         self._decode_jit = jax.jit(self._decode_fn)
         self._encode_jit = jax.jit(self._encode_fn)
         self._step_jit: Dict = {}
+        self._stream_init_cache: Dict = {}
 
     def _decode_fn(self, params, indices, feature_lengths):
         return firefly_decode(params, self.cfg, indices, feature_lengths)
@@ -212,21 +214,6 @@ class FireflyCodec:
         MimiCodec.start_stream."""
         if not self.can_stream:
             raise ValueError("Fish 1.2 codec decode is not streamable")
-        # The zero init state is immutable (sessions thread NEW state
-        # through decode_step), so one template per batch size is shared by
-        # every session: building ~126 zero leaves eagerly costs ~250 ms of
-        # per-leaf dispatch through a remote device tunnel per request
-        # otherwise (measured; see docs/TPU_NOTES.md).
-        if not hasattr(self, "_stream_init_cache"):
-            self._stream_init_cache = {}
-        if batch not in self._stream_init_cache:
-            from fish_speech_tpu.models.codec.firefly_stream import (
-                stream_state_init,
-            )
-
-            self._stream_init_cache[batch] = stream_state_init(
-                self.params, self.cfg, batch
-            )
         return FireflyStreamSession(self, batch, max_step_frames)
 
     def decode_step(self, codes: np.ndarray, state):
@@ -251,40 +238,25 @@ class FireflyCodec:
         return np.asarray(audio, np.float32)[:, 0, :], state
 
 
-class FireflyStreamSession:
-    """Stateful incremental Firefly decoder over one audio stream.
+class FireflyStreamSession(StreamSessionBase):
+    """Stateful incremental Firefly decoder over one audio stream
+    (session mechanics in stream_conv.StreamSessionBase): feed(codes
+    (C, t)) returns the PCM for exactly those t frames; the concatenation
+    over calls equals FireflyCodec.decode of the full code sequence."""
 
-    feed(codes (C, t)) returns the PCM for exactly those t frames; the
-    concatenation over calls equals FireflyCodec.decode of the full code
-    sequence. Chunks are decomposed into power-of-two pieces so at most
-    log2(max_step)+1 distinct chunk lengths ever reach the jit cache."""
-
-    def __init__(self, codec: FireflyCodec, batch: int, max_step_frames: int):
-        self.codec = codec
-        self.batch = batch
-        self.max_step = 1 << (max(1, max_step_frames) - 1).bit_length()
-        self.state = codec._stream_init_cache[batch]
-
-    def feed(self, codes: np.ndarray) -> np.ndarray:
-        codes = np.asarray(codes)
-        if codes.ndim == 2:
-            codes = codes[None]
-        parts = []
-        s, t = 0, codes.shape[-1]
-        while s < t:
-            step = min(self.max_step, t - s)
-            step = 1 << (step.bit_length() - 1)
-            pcm, self.state = self.codec.decode_step(
-                codes[..., s : s + step], self.state
+    def _template(self):
+        # The zero init state is immutable (feed threads NEW state through
+        # decode_step), so one template per batch size is shared by every
+        # session: building ~126 zero leaves eagerly costs ~250 ms of
+        # per-leaf dispatch through a remote device tunnel per request
+        # otherwise (measured; docs/TPU_NOTES.md #14).
+        cache = self.codec._stream_init_cache
+        if self.batch not in cache:
+            from fish_speech_tpu.models.codec.firefly_stream import (
+                stream_state_init,
             )
-            parts.append(pcm)
-            s += step
-        if not parts:
-            return np.zeros((codes.shape[0], 0), np.float32)
-        return np.concatenate(parts, axis=-1)
 
-    def reset(self, batch: Optional[int] = None) -> None:
-        if batch is not None and batch != self.batch:
-            self.batch = batch
-            self.codec.start_stream(batch, self.max_step)  # fill the cache
-        self.state = self.codec._stream_init_cache[self.batch]
+            cache[self.batch] = stream_state_init(
+                self.codec.params, self.codec.cfg, self.batch
+            )
+        return cache[self.batch]

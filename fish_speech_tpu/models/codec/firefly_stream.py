@@ -46,10 +46,11 @@ def _silu32(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _stream_convnext_block(
-    x: jnp.ndarray, p: Dict, state: jnp.ndarray, *, kernel_size: int = 7
+    x: jnp.ndarray, p: Dict, state: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Streaming twin of convnext_block (dilation 1): only the depthwise
-    conv is time-coupled; the LayerNorm/MLP tail is per-position."""
+    """Streaming twin of convnext_block (dilation 1; kernel size implied
+    by the dwconv weight): only the depthwise conv is time-coupled, the
+    LayerNorm/MLP tail is per-position."""
     dim = x.shape[1]
     h, new_state = stream_conv1d(
         x, p["dwconv"]["w"], p["dwconv"]["b"], state, groups=dim

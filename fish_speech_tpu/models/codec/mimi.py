@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fish_speech_tpu.models.codec.stream_conv import (
+    StreamSessionBase,
     conv_state as _conv_state,
     conv_transpose_raw,
     stream_conv1d as _stream_conv1d,
@@ -740,6 +741,7 @@ class MimiCodec:
             lambda p, a: mimi_encode(a, p, self.cfg, self.num_quantizers)
         )
         self._step_jit: Dict = {}
+        self._stream_init_cache: Dict = {}
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         codes = np.asarray(codes)
@@ -789,68 +791,27 @@ class MimiCodec:
         return np.asarray(audio)[:, 0, :], state
 
 
-class MimiStreamSession:
-    """Stateful incremental decoder over one audio stream.
-
-    feed(codes (K, t)) returns the PCM for exactly those t frames; the
-    concatenation over calls equals MimiCodec.decode of the full code
-    sequence (golden-tested in tests/test_mimi.py). Chunks are cut to
-    `max_step_frames` internally, so any t is accepted with a bounded set
-    of jit specializations."""
-
-    def __init__(self, codec: MimiCodec, batch: int, max_step_frames: int):
-        self.codec = codec
-        self.batch = batch
-        # round up to a power of two: feed() decomposes chunks into
-        # power-of-two pieces so at most log2(max_step)+1 distinct chunk
-        # lengths ever reach the jit cache (a ragged tail would otherwise
-        # compile the full decoder once per novel length, mid-stream)
-        self.max_step = 1 << (max(1, max_step_frames) - 1).bit_length()
-        # the zero init state is immutable (feed threads NEW state through
-        # decode_step), so one template per (batch, tsteps) is shared by
-        # every session — per-session eager zero-building costs hundreds of
-        # ms of per-leaf dispatch through a remote device tunnel otherwise
-        if not hasattr(codec, "_stream_init_cache"):
-            codec._stream_init_cache = {}
-        key = (batch, self._tsteps())
-        if key not in codec._stream_init_cache:
-            codec._stream_init_cache[key] = mimi_decode_stream_init(
-                codec.params, codec.cfg, batch, max_step=self._tsteps()
-            )
-        self.state = codec._stream_init_cache[key]
+class MimiStreamSession(StreamSessionBase):
+    """Stateful incremental Mimi decoder over one audio stream (session
+    mechanics in stream_conv.StreamSessionBase): feed(codes (K, t))
+    returns the PCM for exactly those t frames; the concatenation over
+    calls equals MimiCodec.decode of the full code sequence
+    (golden-tested in tests/test_mimi.py)."""
 
     def _tsteps(self) -> int:
         return self.max_step * (2 if self.codec.cfg.has_resample else 1)
 
-    def feed(self, codes: np.ndarray) -> np.ndarray:
-        codes = np.asarray(codes)
-        if codes.ndim == 2:
-            codes = codes[None]
-        parts = []
-        s, t = 0, codes.shape[-1]
-        while s < t:
-            # largest power-of-two piece <= max_step that fits
-            step = min(self.max_step, t - s)
-            step = 1 << (step.bit_length() - 1)
-            pcm, self.state = self.codec.decode_step(
-                codes[..., s : s + step], self.state
-            )
-            parts.append(pcm)
-            s += step
-        if not parts:
-            return np.zeros((codes.shape[0], 0), np.float32)
-        return np.concatenate(parts, axis=-1)
-
-    def reset(self, batch: Optional[int] = None) -> None:
-        """reset_state (reference: mimi.rs:84-88). Keeps the session's
-        batch size unless explicitly overridden."""
-        if batch is not None:
-            self.batch = batch
-        key = (self.batch, self._tsteps())
+    def _template(self):
+        # the zero init state is immutable (feed threads NEW state through
+        # decode_step), so one template per (batch, tsteps) is shared by
+        # every session — per-session eager zero-building costs hundreds of
+        # ms of per-leaf dispatch through a remote device tunnel otherwise
+        # (docs/TPU_NOTES.md #14)
         cache = self.codec._stream_init_cache
+        key = (self.batch, self._tsteps())
         if key not in cache:
             cache[key] = mimi_decode_stream_init(
                 self.codec.params, self.codec.cfg, self.batch,
                 max_step=self._tsteps(),
             )
-        self.state = cache[key]
+        return cache[key]

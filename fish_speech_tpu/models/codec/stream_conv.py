@@ -111,7 +111,7 @@ def stream_conv_transpose1d(x, w, b, state, *, stride, groups=1):
     (out, new_state)."""
     k = w.shape[-1]
     out = conv_transpose_raw(x, w, stride=stride, groups=groups)
-    tail = k - stride
+    tail = max(k - stride, 0)  # same domain as conv_transpose_state
     if tail:
         out = out.at[..., :tail].add(state)
         new_state = out[..., out.shape[-1] - tail :]
@@ -121,3 +121,57 @@ def stream_conv_transpose1d(x, w, b, state, *, stride, groups=1):
     if b is not None:
         out = out + b[None, :, None]
     return out, new_state
+
+
+class StreamSessionBase:
+    """Shared session mechanics for carried-state streaming codecs
+    (FireflyStreamSession / MimiStreamSession).
+
+    feed(codes (K, t) or (B, K, t)) returns the PCM for exactly those t
+    frames; the concatenation over calls equals the codec's batch decode
+    of the full code sequence. Chunks are decomposed into power-of-two
+    pieces so at most log2(max_step)+1 distinct chunk lengths ever reach
+    the jit cache (a ragged tail would otherwise compile the full decoder
+    once per novel length, mid-stream).
+
+    Subclasses implement `_template()` returning the (shared, immutable)
+    zero init state for the current batch size; the owning codec provides
+    `decode_step(codes, state) -> (pcm, new_state)`.
+    """
+
+    def __init__(self, codec, batch: int, max_step_frames: int):
+        self.codec = codec
+        self.batch = batch
+        self.max_step = 1 << (max(1, max_step_frames) - 1).bit_length()
+        self.state = self._template()
+
+    def _template(self):
+        raise NotImplementedError
+
+    def feed(self, codes):
+        import numpy as np
+
+        codes = np.asarray(codes)
+        if codes.ndim == 2:
+            codes = codes[None]
+        parts = []
+        s, t = 0, codes.shape[-1]
+        while s < t:
+            # largest power-of-two piece <= max_step that fits
+            step = min(self.max_step, t - s)
+            step = 1 << (step.bit_length() - 1)
+            pcm, self.state = self.codec.decode_step(
+                codes[..., s : s + step], self.state
+            )
+            parts.append(pcm)
+            s += step
+        if not parts:
+            return np.zeros((codes.shape[0], 0), np.float32)
+        return np.concatenate(parts, axis=-1)
+
+    def reset(self, batch=None) -> None:
+        """Restart the stream (the reference's reset_state, mimi.rs:84-88).
+        Keeps the session's batch size unless explicitly overridden."""
+        if batch is not None:
+            self.batch = batch
+        self.state = self._template()

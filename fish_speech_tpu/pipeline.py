@@ -263,8 +263,8 @@ class TTSPipeline:
     ) -> Iterator[np.ndarray]:
         """Yield PCM every `frame_chunk` LM frames (~0.74 s of audio at 16
         frames) instead of per text chunk: the LM decodes fixed-horizon
-        slices and the vocoder decodes incrementally with causal left
-        context (FireflyCodec.decode_tail). Time-to-first-audio becomes
+        slices and the vocoder streams them with carried state
+        (FireflyCodec/MimiCodec.start_stream). Time-to-first-audio becomes
         prefill + frame_chunk decode + one small vocode — the reference
         can only stream whole text chunks (handlers/speech.rs:180-236).
 
@@ -350,26 +350,38 @@ class TTSPipeline:
                     # drop the speculative dispatch; its state is still
                     # the carry (positions past the end are rewound below)
                     pending = None
-                codes = self._shift_output_tokens(
-                    np.stack(frames, axis=1)[1:]
-                )
-                if codes.shape[1] > emitted_frames:
-                    if stream is not None:
-                        yield stream.feed(codes[:, emitted_frames:])[0]
-                    else:
-                        yield self.codec.decode_tail(
-                            codes,
-                            codes.shape[1] - emitted_frames,
-                            context_frames,
+                if stream is not None:
+                    # carried-state path consumes only the new slice — no
+                    # need to restack/re-shift the whole history per chunk
+                    if len(frames) > emitted_frames:
+                        new = self._shift_output_tokens(
+                            np.stack(frames[emitted_frames:], axis=1)[1:]
                         )
+                        yield stream.feed(new)[0]
+                        emitted_frames = len(frames)
+                elif len(frames) > emitted_frames:
+                    codes = self._shift_output_tokens(
+                        np.stack(frames, axis=1)[1:]
+                    )
+                    yield self.codec.decode_tail(
+                        codes,
+                        codes.shape[1] - emitted_frames,
+                        context_frames,
+                    )
                     emitted_frames = codes.shape[1]
             # flush anything not yet emitted (e.g. EOS on the very first
             # frame, where the decode loop never runs)
-            codes = self._shift_output_tokens(np.stack(frames, axis=1)[1:])
-            if codes.shape[1] > emitted_frames:
+            if len(frames) > emitted_frames:
                 if stream is not None:
-                    yield stream.feed(codes[:, emitted_frames:])[0]
+                    yield stream.feed(
+                        self._shift_output_tokens(
+                            np.stack(frames[emitted_frames:], axis=1)[1:]
+                        )
+                    )[0]
                 else:
+                    codes = self._shift_output_tokens(
+                        np.stack(frames, axis=1)[1:]
+                    )
                     yield self.codec.decode_tail(
                         codes, codes.shape[1] - emitted_frames, context_frames
                     )
