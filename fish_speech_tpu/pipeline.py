@@ -254,7 +254,6 @@ class TTSPipeline:
         text: str,
         *,
         frame_chunk: int = 16,
-        context_frames: int = 32,
         voice_conditioning: Optional[np.ndarray] = None,
         sampling: Optional[SamplingArgs] = None,
         sysprompt: Optional[str] = None,
@@ -360,14 +359,20 @@ class TTSPipeline:
                         yield stream.feed(new)[0]
                         emitted_frames = len(frames)
                 elif len(frames) > emitted_frames:
+                    # non-causal codec (Fish 1.2): no carried-state stream
+                    # exists, and a fixed left-context window (decode_tail)
+                    # mis-renders every chunk boundary because symmetric
+                    # pads also need FUTURE context. Re-decoding the whole
+                    # prefix and emitting the new samples is the best
+                    # possible approximation (already-emitted audio can't
+                    # be retracted); 1.2 generations are <=1024 frames so
+                    # the O(T^2) recompute stays small.
                     codes = self._shift_output_tokens(
                         np.stack(frames, axis=1)[1:]
                     )
-                    yield self.codec.decode_tail(
-                        codes,
-                        codes.shape[1] - emitted_frames,
-                        context_frames,
-                    )
+                    pcm = self.codec.decode(codes)[0]
+                    spf = pcm.shape[-1] // codes.shape[1]
+                    yield pcm[emitted_frames * spf :]
                     emitted_frames = codes.shape[1]
             # flush anything not yet emitted (e.g. EOS on the very first
             # frame, where the decode loop never runs)
@@ -382,9 +387,9 @@ class TTSPipeline:
                     codes = self._shift_output_tokens(
                         np.stack(frames, axis=1)[1:]
                     )
-                    yield self.codec.decode_tail(
-                        codes, codes.shape[1] - emitted_frames, context_frames
-                    )
+                    pcm = self.codec.decode(codes)[0]
+                    spf = pcm.shape[-1] // codes.shape[1]
+                    yield pcm[emitted_frames * spf :]
             if i == 0:
                 cond_len = n_cond
             state = engine.rewind(state, cond_len)

@@ -68,7 +68,6 @@ def test_lowlatency_stream_matches_blocking():
         pipe.synthesize_streaming_lowlatency(
             "Hello there world.",
             frame_chunk=4,
-            context_frames=8,
             sampling=sampling,
             seed=0,
         )
@@ -76,3 +75,46 @@ def test_lowlatency_stream_matches_blocking():
     streamed = np.concatenate(parts)
     assert streamed.shape == blocking.shape
     np.testing.assert_allclose(streamed, blocking, atol=2e-3, rtol=1e-2)
+
+
+def test_lowlatency_fallback_full_prefix_decode_matches_blocking(monkeypatch):
+    """The non-streamable-codec fallback (Fish 1.2's non-causal convs has
+    can_stream=False) re-decodes the whole prefix and emits the new
+    samples. Exercised here with a causal codec forced onto the fallback
+    branch, where the delta emission must be EXACT vs blocking."""
+    from tests.test_server import DummyTokenizer, LM_CFG, TOK
+    from fish_speech_tpu.config import WhichLM
+    from fish_speech_tpu.generate.engine import LMEngine
+    from fish_speech_tpu.models.dual_ar import init_dual_ar_params
+    from fish_speech_tpu.pipeline import TTSPipeline
+
+    params = init_dual_ar_params(jax.random.PRNGKey(0), LM_CFG, dtype=jnp.float32)
+    params["output"] = params["output"].at[:, TOK.im_end_id].multiply(50.0)
+    engine = LMEngine(
+        params, LM_CFG, TOK, WhichLM.FISH_1_5,
+        cache_len=128, max_frames=16, dtype=jnp.float32, prompt_buckets=(64, 128),
+    )
+    codec_params = init_firefly_params(jax.random.PRNGKey(1), CODEC_CFG)
+    codec = FireflyCodec(codec_params, CODEC_CFG, buckets=(8, 16, 32))
+    monkeypatch.setattr(
+        type(codec), "can_stream", property(lambda self: False)
+    )
+    assert not codec.can_stream
+    pipe = TTSPipeline(
+        engine, codec, DummyTokenizer(), WhichLM.FISH_1_5, max_new_tokens=10
+    )
+    sampling = SamplingArgs(temp=0.0)
+    try:
+        blocking = pipe.synthesize(
+            "Hello there world.", sampling=sampling, seed=0
+        )
+    except RuntimeError:
+        pytest.skip("random-weight generation ran away (CPU numeric jitter)")
+    parts = list(
+        pipe.synthesize_streaming_lowlatency(
+            "Hello there world.", frame_chunk=4, sampling=sampling, seed=0
+        )
+    )
+    streamed = np.concatenate(parts)
+    assert streamed.shape == blocking.shape
+    np.testing.assert_allclose(streamed, blocking, atol=1e-5)
