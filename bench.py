@@ -122,10 +122,11 @@ def main() -> None:
 
     frame_rate = codec_cfg.frame_rate  # 21.533 Hz
     n_frames = 128  # ~5.9 s of audio at 21.5 Hz
+    int8 = "--int8" in sys.argv  # opt-in weight-only int8 (ops/quant.py)
     engine = LMEngine(
         s.params, cfg, tok, WhichLM.FISH_1_5,
         cache_len=2048, max_frames=n_frames, dtype=jnp.bfloat16,
-        prompt_buckets=(64,),
+        prompt_buckets=(64,), quantize_int8=int8,
     )
     codec = FireflyCodec(s.codec_params, codec_cfg, buckets=(n_frames,))
     sampling = SamplingArgs(temp=0.7, top_p=0.8, top_k=256, repetition_penalty=1.4)
@@ -177,7 +178,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "e2e_rtf_fish15_single_chip",
+                "metric": "e2e_rtf_fish15_single_chip"
+                + ("_int8" if int8 else ""),
                 "value": round(best_rtf, 5),
                 "unit": "ratio_lower_is_better",
                 "vs_baseline": round(target / best_rtf, 3),
@@ -212,11 +214,12 @@ def bench_continuous(rows: int = 16) -> None:
     )
 
     n_frames = 128  # ~5.9 s of audio per request
+    int8 = "--int8" in sys.argv  # opt-in weight-only int8 (ops/quant.py)
     engine = LMEngine(
         s.params, cfg, tok, WhichLM.FISH_1_5,
         batch_size=rows, cache_len=512, max_frames=n_frames,
         rep_pen_window=BATCHED_REP_PEN_WINDOW,
-        dtype=jnp.bfloat16, prompt_buckets=(64,),
+        dtype=jnp.bfloat16, prompt_buckets=(64,), quantize_int8=int8,
     )
     codec = FireflyCodec(s.codec_params, codec_cfg, buckets=(n_frames,))
     sampling = SamplingArgs(temp=0.7, top_p=0.8, top_k=256, repetition_penalty=1.4)
@@ -267,7 +270,8 @@ def bench_continuous(rows: int = 16) -> None:
     print(
         json.dumps(
             {
-                "metric": f"continuous_{rows}way_per_request_rtf_p50",
+                "metric": f"continuous_{rows}way_per_request_rtf_p50"
+                + ("_int8" if int8 else ""),
                 "value": round(p50_rtf, 4),
                 "unit": "ratio_lower_is_better",
                 "vs_baseline": round(1.0 / p50_rtf, 3),
@@ -438,6 +442,48 @@ def verify_pallas() -> None:
     )
 
 
+def bench_encode(trials: int = 5) -> None:
+    """Voice-cloning encode path RTF (the reference prints "Encoding RTF"
+    per run, encode_speech.rs:83-88 / bin/encoder.rs:91-95, but publishes
+    no numbers): 10 s of 44.1 kHz audio -> log-mel (host-jitted rFFT) ->
+    ConvNeXt encoder -> downsample-FSQ codes, on the real chip."""
+    s = _setup_fish15()
+    jax = s.jax
+
+    from fish_speech_tpu.models.codec.firefly import FireflyCodec
+
+    seconds = 10.0
+    sr = s.codec_cfg.spec_transform.sample_rate
+    audio = (
+        s.rng.normal(size=int(seconds * sr)).astype(np.float32) * 0.1
+    )
+    codec = FireflyCodec(s.codec_params, s.codec_cfg, buckets=(1024,))
+    codes = codec.encode(audio)  # compile
+    log(f"warmup encode: codes {codes.shape}")
+
+    best = None
+    for t in range(trials):
+        t0 = time.perf_counter()
+        codes = codec.encode(audio)
+        dt = time.perf_counter() - t0
+        rtf = dt / seconds
+        log(f"trial {t}: encoded {seconds:.0f}s audio in {dt:.3f}s (RTF {rtf:.4f})")
+        best = rtf if best is None else min(best, rtf)
+
+    print(
+        json.dumps(
+            {
+                "metric": "encode_rtf_fish15_single_chip",
+                "value": round(best, 5),
+                "unit": "ratio_lower_is_better",
+                # no published reference number (BASELINE.md); target = realtime
+                "vs_baseline": round(1.0 / best, 2),
+            }
+        )
+    )
+
+
+
 if __name__ == "__main__":
     if "--verify" in sys.argv:
         verify_pallas()
@@ -447,5 +493,7 @@ if __name__ == "__main__":
         bench_continuous(n)
     elif "--ttfa" in sys.argv:
         bench_ttfa()
+    elif "--encode" in sys.argv:
+        bench_encode()
     else:
         main()
