@@ -112,7 +112,16 @@ def main() -> None:
     state = engine.init_state(args.seed)
     all_codes = []
     cond_len = 0
-    frame_rate = 21.535 if lm != WhichLM.DUAL_AR else 12.5
+    # per-version frame rate for the RTF print: ~43.07 Hz for 1.2,
+    # 21.533 for 1.4/1.5, 12.5 for DualAR/Mimi. (The reference prints
+    # 21.535 even for 1.2 — single_batch.rs:292-295 — inflating its 1.2
+    # RTF 2x; corrected here.)
+    if lm == WhichLM.DUAL_AR:
+        frame_rate = 12.5
+    else:
+        from fish_speech_tpu.config import FireflyConfig
+
+        frame_rate = FireflyConfig.for_version(model.fish_version).frame_rate
     for i, chunk_tokens in enumerate(encoded):
         offset = cond_len if i > 0 else 0
         result, state = engine.generate(

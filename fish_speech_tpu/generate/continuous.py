@@ -354,6 +354,14 @@ class ContinuousBatcher:
                     continue
             if pending is not None:
                 self._process(pending)
+            # clean shutdown: release clients still waiting for chunks
+            # (in-flight rows and queued requests would otherwise block
+            # forever in BatchedRequest.__iter__)
+            for slot in self.rows:
+                if slot is not None:
+                    slot.req.results.put(None)
+            while not self.queue.empty():
+                self.queue.get_nowait().results.put(None)
         except Exception as e:  # noqa: BLE001 — propagate to waiting clients
             logger.exception("continuous batcher died")
             for slot in self.rows:

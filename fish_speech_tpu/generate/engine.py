@@ -108,26 +108,30 @@ class LMEngine:
         dtype=jnp.bfloat16,
         attention_impl: str = "auto",
         quantize_int8: bool = False,
+        _params_preprocessed: bool = False,
     ) -> None:
         # Gather the LM head down to the audio-legal columns once: the
         # per-frame head matmul then reads ~1 MB instead of ~200 MB
         # (constrained sampling can never pick any other column; see
-        # frame.semantic_head_columns). The full params stay available for
-        # callers that need unconstrained logits (hidden-states debugging).
-        self.full_params = params
+        # frame.semantic_head_columns). The un-gathered params are NOT
+        # retained — pinning the full head (and, under int8, the bf16
+        # stacks) would cost hundreds of MB of device memory for the
+        # engine's lifetime. Sibling engines (batch sizes, batcher) share
+        # these processed params via _params_preprocessed=True.
         self.quantize_int8 = quantize_int8
-        cols = semantic_head_columns(lm, token_cfg, cfg)
-        params = dict(params)
-        params["output"] = jnp.take(
-            params["output"], jnp.asarray(cols), axis=1
-        )
-        if quantize_int8:
-            # weight-only int8 for the matmul stacks: ~2x faster weight
-            # streaming on the HBM-bound decode (ops/quant.py); OFF by
-            # default — bf16 is the reference-parity path
-            from fish_speech_tpu.ops.quant import quantize_lm_params
+        if not _params_preprocessed:
+            cols = semantic_head_columns(lm, token_cfg, cfg)
+            params = dict(params)
+            params["output"] = jnp.take(
+                params["output"], jnp.asarray(cols), axis=1
+            )
+            if quantize_int8:
+                # weight-only int8 for the matmul stacks: ~2x faster
+                # weight streaming on the HBM-bound decode (ops/quant.py);
+                # OFF by default — bf16 is the reference-parity path
+                from fish_speech_tpu.ops.quant import quantize_lm_params
 
-            params = quantize_lm_params(params)
+                params = quantize_lm_params(params)
         self.params = params
         self.cfg = cfg
         # "auto" -> fused Pallas decode attention on single-device TPU,
@@ -340,7 +344,10 @@ class LMEngine:
         return lambda state, max_steps: fn(params, state, max_steps)
 
     def _get_step(self, sampling: SamplingArgs):
-        """Single decode frame, jitted — used by the streaming path."""
+        """Single decode frame, jitted. NOT on the serving path (streaming
+        uses decode_chunk); kept for frame-at-a-time callers and the
+        sharded-parity test (tests/test_parallel.py), and routed through
+        the same _decode_body as decode_chunk so the two cannot diverge."""
         key = ("step", sampling)
         if key not in self._decode_jit:
 

@@ -165,9 +165,13 @@ class FireflyCodec:
     def decode_tail(
         self, codes: np.ndarray, new_frames: int, context_frames: int = 32
     ) -> np.ndarray:
-        """Incremental decode for streaming: given ALL codes so far
+        """Windowed incremental decode: given ALL codes so far
         (num_codebooks, T), return the PCM for just the last `new_frames`
         frames, decoded with `context_frames` of left context.
+
+        Utility/back-compat API: the LIVE streaming mechanism is
+        start_stream (carried state, each frame decoded once); the
+        serving pipeline does not call this.
 
         Fish 1.4+ convolutions are causal (FishConvNet left-pads,
         FishTransConvNet right-trims — codec/utils/mod.rs:53-63,110-123),

@@ -91,10 +91,18 @@ class TTSPipeline:
         quantize_int8: bool = False,
     ) -> "TTSPipeline":
         """Load config.json + tokenizer.json + weights from a checkpoint
-        directory (reference: server/lib/utils/load.rs:62-188)."""
+        directory, resolving a Hub repo id (or the version's pinned repo
+        when the path doesn't exist locally) via io/hub.py
+        (reference: server/lib/utils/load.rs:62-188)."""
         from tokenizers import Tokenizer
 
         checkpoint_dir = Path(checkpoint_dir)
+        if not checkpoint_dir.is_dir():
+            from fish_speech_tpu.io.hub import resolve_checkpoint
+
+            resolved = resolve_checkpoint(checkpoint_dir, model)
+            checkpoint_dir = resolved.dir
+            codec_file = codec_file or resolved.codec_file
         lm = WhichLM.from_model(model)
         cfg_path = checkpoint_dir / "config.json"
         cfg = (
@@ -405,7 +413,7 @@ class TTSPipeline:
 
         e = self.engine
         engine = LMEngine(
-            e.full_params,
+            e.params,
             e.cfg,
             e.token_cfg,
             e.lm,
@@ -416,6 +424,7 @@ class TTSPipeline:
             prompt_buckets=e.prompt_buckets,
             dtype=e.dtype,
             quantize_int8=e.quantize_int8,
+            _params_preprocessed=True,
         )
         return ContinuousBatcher(
             engine, self.default_sampling, horizon=horizon
@@ -466,7 +475,7 @@ class TTSPipeline:
         if batch_size not in self._batch_engines:
             e = self.engine
             self._batch_engines[batch_size] = LMEngine(
-                e.full_params,
+                e.params,
                 e.cfg,
                 e.token_cfg,
                 e.lm,
@@ -477,6 +486,7 @@ class TTSPipeline:
                 prompt_buckets=e.prompt_buckets,
                 dtype=e.dtype,
                 quantize_int8=e.quantize_int8,
+                _params_preprocessed=True,
             )
         return self._batch_engines[batch_size]
 

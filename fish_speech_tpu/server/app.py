@@ -26,7 +26,7 @@ import numpy as np
 from aiohttp import web
 
 from fish_speech_tpu.audio.decode import decode_audio_bytes
-from fish_speech_tpu.audio.resample import resample
+from fish_speech_tpu.audio.resample import StreamingResampler
 from fish_speech_tpu.audio.wav import pcm_to_wav_bytes
 from fish_speech_tpu.pipeline import TTSPipeline
 
@@ -77,7 +77,7 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
     max_new = body.get("max_new_tokens")
     batch_size = body.get("batch_size")
     # opt-in sub-chunk streaming: emit PCM every N LM frames instead of
-    # per text chunk (causal vocoder tail decode; Fish 1.4+ only)
+    # per text chunk (carried-state streaming vocoder; serial engine)
     stream_chunk_frames = body.get("stream_chunk_frames")
 
     conditioning = _resolve_voice(state, voice)
@@ -94,7 +94,11 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
     # lock; used when a batcher is attached and the request doesn't need
     # the serial-only features (explicit seed, in-request static batch)
     use_batcher = (
-        state.batcher is not None and seed is None and not batch_size
+        state.batcher is not None
+        and seed is None
+        and not batch_size
+        # sub-chunk low-latency streaming runs on the serial engine
+        and not stream_chunk_frames
     )
 
     if response_format == "opus":
@@ -116,18 +120,24 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
 
         async def _stream(gen, as_pcm):
             loop = asyncio.get_running_loop()
+            # carried-phase resampler: per-chunk stateless resampling
+            # restarts the interpolation phase at every boundary (the
+            # 44.1k->24k ratio is non-integer) — an audible click per
+            # text chunk; the streaming resampler's concatenated output
+            # equals resampling the whole signal
+            rs = StreamingResampler(pipeline.codec.sample_rate, OPUS_RATE)
             while True:
                 chunk = await loop.run_in_executor(None, next, gen, None)
                 if chunk is None:
                     break
                 pcm = chunk if as_pcm else chunk.pcm
-                pcm24 = resample(pcm, pipeline.codec.sample_rate, OPUS_RATE)
-                data = encoder.encode(pcm24)
+                data = encoder.encode(rs.process(pcm))
                 # stream in 1024-byte chunks like the reference
                 # (speech.rs:216-223)
                 for i in range(0, len(data), 1024):
                     await resp.write(data[i : i + 1024])
-            tail = encoder.encode(np.zeros(0, np.float32), final=True)
+            tail_pcm = rs.process(np.zeros(0, np.float32), final=True)
+            tail = encoder.encode(tail_pcm, final=True)
             if tail:
                 await resp.write(tail)
 
@@ -142,8 +152,19 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
             await _stream(gen, as_pcm=True)
         else:
             async with state.lock:
-                gen = pipeline.synthesize_streaming(text, **kwargs)
-                await _stream(gen, as_pcm=False)
+                if stream_chunk_frames:
+                    # emit PCM every N LM frames through the carried-state
+                    # streaming vocoder (pipeline lowlatency path) instead
+                    # of per text chunk
+                    gen = pipeline.synthesize_streaming_lowlatency(
+                        text,
+                        frame_chunk=int(stream_chunk_frames),
+                        **kwargs,
+                    )
+                    await _stream(gen, as_pcm=True)
+                else:
+                    gen = pipeline.synthesize_streaming(text, **kwargs)
+                    await _stream(gen, as_pcm=False)
         encoder.close()
         await resp.write_eof()
         return resp

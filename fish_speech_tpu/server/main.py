@@ -29,7 +29,12 @@ from fish_speech_tpu.server.voices import load_speaker_prompts
 
 def main() -> None:
     parser = argparse.ArgumentParser(description="fish_speech_tpu server")
-    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument(
+        "--checkpoint",
+        default="",
+        help="checkpoint directory or Hub repo id; empty uses the "
+        "version's pinned repo (load.rs:50-60)",
+    )
     parser.add_argument(
         "--fish-version",
         default="1.5",

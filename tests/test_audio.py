@@ -188,3 +188,46 @@ class TestAnyContainerDecode:
         pcm, sr = decode_audio_bytes(pcm_to_wav_bytes(sig, 44100))
         assert sr == 44100
         np.testing.assert_allclose(pcm, sig, atol=2 / 32768)
+
+
+class TestStreamingResampler:
+    """StreamingResampler must be sample-identical to resample() over the
+    whole signal for ANY chunking (the server's Opus path previously
+    resampled chunks independently -> phase clicks at boundaries)."""
+
+    def test_stream_equals_whole_any_chunking(self):
+        from fish_speech_tpu.audio.resample import StreamingResampler, resample
+
+        rng = np.random.default_rng(0)
+        pcm = rng.normal(size=44100).astype(np.float32)
+        whole = resample(pcm, 44100, 24000)
+        for chunking in ([44100], [1000, 43100], [7, 13, 44080], [1] * 50 + [44050]):
+            rs = StreamingResampler(44100, 24000)
+            parts, s = [], 0
+            for n in chunking:
+                parts.append(rs.process(pcm[s : s + n]))
+                s += n
+            parts.append(rs.process(np.zeros(0), final=True))
+            out = np.concatenate(parts)
+            assert out.shape == whole.shape, chunking
+            np.testing.assert_array_equal(out, whole)
+
+    def test_equal_rates_passthrough(self):
+        from fish_speech_tpu.audio.resample import StreamingResampler
+
+        rs = StreamingResampler(24000, 24000)
+        x = np.arange(10, dtype=np.float32)
+        np.testing.assert_array_equal(rs.process(x, final=True), x)
+
+    def test_upsample_direction(self):
+        from fish_speech_tpu.audio.resample import StreamingResampler, resample
+
+        rng = np.random.default_rng(1)
+        pcm = rng.normal(size=2400).astype(np.float32)
+        whole = resample(pcm, 24000, 44100)
+        rs = StreamingResampler(24000, 44100)
+        out = np.concatenate(
+            [rs.process(pcm[:1111]), rs.process(pcm[1111:]),
+             rs.process(np.zeros(0), final=True)]
+        )
+        np.testing.assert_array_equal(out, whole)

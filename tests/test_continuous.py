@@ -261,3 +261,40 @@ def test_batcher_matches_serial_argmax():
     assert len(chunks) == 1
     np.testing.assert_array_equal(chunks[0].semantic, ref.semantic)
     np.testing.assert_array_equal(chunks[0].tokens, ref.tokens)
+
+
+def test_shutdown_releases_waiting_clients():
+    """Clean shutdown must unblock clients still waiting for chunks
+    (both in-flight rows and never-admitted queued requests) instead of
+    leaving them parked on results.get() forever."""
+    params = init_dual_ar_params(jax.random.PRNGKey(2), CFG, dtype=jnp.float32)
+    engine = LMEngine(
+        params, CFG, TOK, WhichLM.FISH_1_5,
+        batch_size=1, cache_len=64, max_frames=16,
+        dtype=jnp.float32, prompt_buckets=(16,),
+    )
+    b = ContinuousBatcher(engine, SamplingArgs(temp=0.8, top_k=8), horizon=4)
+    # one request per row plus overflow so at least one stays queued
+    reqs = [
+        b.submit([make_prompt(5)] * 4, cond_len=0, max_new=8)
+        for _ in range(3)
+    ]
+    b.shutdown()
+
+    outcomes = []
+
+    def consume(req):
+        try:
+            list(req)
+            outcomes.append("done")
+        except RuntimeError:
+            outcomes.append("released")
+
+    threads = [threading.Thread(target=consume, args=(r,)) for r in reqs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in threads), "client blocked forever"
+    assert len(outcomes) == 3
+    assert "released" in outcomes  # at least the queued ones were released

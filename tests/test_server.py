@@ -354,3 +354,46 @@ def test_opus_streaming_route_with_continuous_batcher(pipeline):
         assert ogg[:4] == b"OggS"
     finally:
         batcher.shutdown()
+
+
+def test_opus_streaming_lowlatency_route(state):
+    """stream_chunk_frames routes the request through the sub-chunk
+    low-latency path (synthesize_streaming_lowlatency + carried-state
+    vocoder) rather than per-text-chunk streaming."""
+    from fish_speech_tpu.audio.opus import OggOpusEncoder
+
+    if not OggOpusEncoder.available():
+        pytest.skip("native opus unavailable")
+
+    calls = []
+    pipeline = state.pipeline
+    orig = pipeline.synthesize_streaming_lowlatency
+
+    def spy(text, **kw):
+        calls.append(kw.get("frame_chunk"))
+        return orig(text, **kw)
+
+    pipeline.synthesize_streaming_lowlatency = spy
+    try:
+        async def fn(client):
+            resp = await client.post(
+                "/v1/audio/speech",
+                json={
+                    "model": "fish",
+                    "voice": "default",
+                    "input": "Hello.",
+                    "response_format": "opus",
+                    "seed": 1,
+                    "stream_chunk_frames": 4,
+                },
+            )
+            assert resp.status == 200
+            assert resp.content_type == "audio/ogg"
+            return await resp.read()
+
+        data = _sync(_run(state, fn))
+    finally:
+        pipeline.synthesize_streaming_lowlatency = orig
+    assert data[:4] == b"OggS"
+    assert b"OpusHead" in data[:64]
+    assert calls == [4], "low-latency path was not used"
