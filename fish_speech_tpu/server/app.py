@@ -322,6 +322,15 @@ def create_app(state: AppState) -> web.Application:
     app.router.add_post("/v1/audio/encoding", handle_encoding)
     app.router.add_post("/v1/audio/hidden_states", handle_hidden_states)
     app.router.add_get("/v1/voices", handle_voices)
+
+    async def _shutdown_batcher(app: web.Application) -> None:
+        # graceful stop: release clients blocked on in-flight batched
+        # requests (ContinuousBatcher.shutdown signals their iterators)
+        b = app["state"].batcher
+        if b is not None:
+            await asyncio.to_thread(b.shutdown)
+
+    app.on_cleanup.append(_shutdown_batcher)
     return app
 
 
