@@ -60,22 +60,56 @@ class _ChunkResult:
     hit_max: bool
 
 
+@dataclasses.dataclass
+class _PartialFrames:
+    """Streaming event: frames decoded for the CURRENT text chunk since
+    the last event (sub-chunk latency; the final _ChunkResult still
+    carries the chunk's full token grid)."""
+
+    frames: np.ndarray  # (C+1, t) — semantic row + codebook rows
+
+
 class BatchedRequest:
     """Handle returned by ContinuousBatcher.submit: iterate to receive one
     _ChunkResult per text chunk, in order."""
 
-    def __init__(self, prompts: List[np.ndarray], cond_len: int, max_new: int):
+    def __init__(
+        self,
+        prompts: List[np.ndarray],
+        cond_len: int,
+        max_new: int,
+        stream: bool = False,
+    ):
         self.prompts = prompts
         self.cond_len = cond_len
         self.max_new = max_new
-        self.results: "queue.Queue[Optional[_ChunkResult]]" = queue.Queue()
+        self.stream = stream
+        self.results: "queue.Queue[Optional[object]]" = queue.Queue()
         self.error: Optional[Exception] = None
 
     def __iter__(self):
+        """Yield one _ChunkResult per text chunk (partial-frame events of
+        a stream=True request are skipped)."""
         for _ in range(len(self.prompts)):
+            while True:
+                r = self.results.get()
+                if r is None:
+                    raise self.error or RuntimeError("batcher shut down")
+                if isinstance(r, _ChunkResult):
+                    break
+            yield r
+
+    def iter_events(self):
+        """Yield _PartialFrames (new frames, sub-chunk latency) and
+        _ChunkResult (chunk boundary) events in decode order; requires
+        stream=True at submit."""
+        ended = 0
+        while ended < len(self.prompts):
             r = self.results.get()
             if r is None:
                 raise self.error or RuntimeError("batcher shut down")
+            if isinstance(r, _ChunkResult):
+                ended += 1
             yield r
 
 
@@ -87,6 +121,7 @@ class _RowState:
         self.row = row
         self.chunk_idx = -1  # admitted chunk index
         self.frames: List[np.ndarray] = []  # (C+1,) frames of current chunk
+        self.emitted = 0  # frames already sent as _PartialFrames (stream)
         self.budget = 0
         self.active = False  # row currently decoding a chunk
 
@@ -159,9 +194,13 @@ class ContinuousBatcher:
     # -- client side -------------------------------------------------------
 
     def submit(
-        self, prompts: List[np.ndarray], cond_len: int, max_new: int
+        self,
+        prompts: List[np.ndarray],
+        cond_len: int,
+        max_new: int,
+        stream: bool = False,
     ) -> BatchedRequest:
-        req = BatchedRequest(prompts, cond_len, max_new)
+        req = BatchedRequest(prompts, cond_len, max_new, stream=stream)
         self.queue.put(req)
         self._wake.set()
         return req
@@ -236,6 +275,7 @@ class ContinuousBatcher:
             self.state, prompt, self.sampling, slot.row, offset=offset
         )
         slot.frames = []
+        slot.emitted = 0
         budget = min(
             req.max_new - 1,
             self.engine.cache_len - (offset + prompt.shape[-1]) - 1,
@@ -245,7 +285,17 @@ class ContinuousBatcher:
         self.epoch[slot.row] += 1
         return _Admit(slot, self.epoch[slot.row], frame, is_eos)
 
+    def _flush_partial(self, slot: _RowState) -> None:
+        """Send frames decoded since the last event to a stream=True
+        request (sub-chunk latency: one event per scheduler tick)."""
+        if not slot.req.stream or slot.emitted >= len(slot.frames):
+            return
+        new = np.stack(slot.frames[slot.emitted :], axis=1)
+        slot.req.results.put(_PartialFrames(frames=new))
+        slot.emitted = len(slot.frames)
+
     def _finish_chunk(self, slot: _RowState, hit_max: bool) -> None:
+        self._flush_partial(slot)
         stacked = np.stack(slot.frames, axis=1)  # (C+1, T)
         slot.req.results.put(
             _ChunkResult(
@@ -332,6 +382,11 @@ class ContinuousBatcher:
                     break
             if not ended and done[r]:
                 self._finish_chunk(slot, hit_max=False)
+        # sub-chunk streaming: emit this tick's frames for rows still
+        # mid-chunk (finished rows already flushed inside _finish_chunk)
+        for slot, epoch in flight.snapshot:
+            if slot.active and self.epoch[slot.row] == epoch:
+                self._flush_partial(slot)
 
     def _run(self) -> None:
         pending: Optional[_Inflight] = None

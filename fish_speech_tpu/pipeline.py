@@ -461,6 +461,69 @@ class TTSPipeline:
             codes = self._shift_output_tokens(chunk.tokens)
             yield self.codec.decode(codes)[0]
 
+    def synthesize_streaming_continuous_lowlatency(
+        self,
+        batcher,
+        text: str,
+        *,
+        voice_conditioning: Optional[np.ndarray] = None,
+        sysprompt: Optional[str] = None,
+        max_new_tokens: Optional[int] = None,
+    ) -> Iterator[np.ndarray]:
+        """Sub-chunk streaming THROUGH the shared continuous batcher:
+        PCM is yielded every scheduler tick (one decode horizon, default
+        16 frames ~ 0.74 s of audio) while other requests decode
+        concurrently on the same chip. Combines the batcher's
+        concurrency with the low-latency path's carried-state vocoding —
+        the serial `synthesize_streaming_lowlatency` gets the same
+        latency but owns the whole engine; the reference can do neither
+        (requests serialize on a mutex and stream only whole text
+        chunks, state.rs:13 / handlers/speech.rs:180-236)."""
+        chunks = preprocess_text(text)
+        if not chunks:
+            return
+        if sysprompt is None and self.lm == WhichLM.FISH_1_5:
+            sysprompt = FISH_1_5_SYSPROMPT
+        n_cond, encoded = self.prompt_encoder.encode_sequence(
+            chunks,
+            sysprompt_text=sysprompt,
+            cached_speaker=voice_conditioning,
+            assume_kv_cache=True,
+        )
+        from fish_speech_tpu.generate.continuous import _PartialFrames
+
+        req = batcher.submit(
+            encoded, n_cond, max_new_tokens or self.max_new_tokens,
+            stream=True,
+        )
+        can_stream = getattr(self.codec, "can_stream", False)
+        session = None
+        chunk_frames: list = []  # non-streamable-codec fallback prefix
+        emitted = 0
+        for ev in req.iter_events():
+            if isinstance(ev, _PartialFrames):
+                codes = self._shift_output_tokens(ev.frames[1:])
+                if can_stream:
+                    if session is None:
+                        session = self.codec.start_stream(
+                            max_step_frames=batcher.horizon
+                        )
+                    yield session.feed(codes)[0]
+                else:
+                    # full-prefix delta decode (see the serial path's
+                    # fallback note: best approximation for non-causal
+                    # codecs once audio is already emitted)
+                    chunk_frames.append(codes)
+                    allc = np.concatenate(chunk_frames, axis=1)
+                    pcm = self.codec.decode(allc)[0]
+                    spf = pcm.shape[-1] // allc.shape[1]
+                    yield pcm[emitted * spf :]
+                    emitted = allc.shape[1]
+            else:  # _ChunkResult: chunk boundary — fresh vocoder state
+                session = None
+                chunk_frames = []
+                emitted = 0
+
     # -- static batching ---------------------------------------------------
 
     def _get_batch_engine(self, batch_size: int) -> LMEngine:

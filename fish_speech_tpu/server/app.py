@@ -94,11 +94,7 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
     # lock; used when a batcher is attached and the request doesn't need
     # the serial-only features (explicit seed, in-request static batch)
     use_batcher = (
-        state.batcher is not None
-        and seed is None
-        and not batch_size
-        # sub-chunk low-latency streaming runs on the serial engine
-        and not stream_chunk_frames
+        state.batcher is not None and seed is None and not batch_size
     )
 
     if response_format == "opus":
@@ -142,7 +138,15 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
                 await resp.write(tail)
 
         if use_batcher:
-            gen = pipeline.synthesize_streaming_continuous(
+            # with stream_chunk_frames, PCM flows every scheduler tick
+            # (sub-chunk latency) while other requests share the chip;
+            # otherwise per text chunk
+            make_gen = (
+                pipeline.synthesize_streaming_continuous_lowlatency
+                if stream_chunk_frames
+                else pipeline.synthesize_streaming_continuous
+            )
+            gen = make_gen(
                 state.batcher,
                 text,
                 voice_conditioning=conditioning,

@@ -298,3 +298,39 @@ def test_shutdown_releases_waiting_clients():
     assert not any(t.is_alive() for t in threads), "client blocked forever"
     assert len(outcomes) == 3
     assert "released" in outcomes  # at least the queued ones were released
+
+
+def test_stream_events_match_chunk_results(batcher):
+    """stream=True: per-chunk concatenation of _PartialFrames must equal
+    the final _ChunkResult's token grid, with the chunk boundary event
+    arriving after its partials."""
+    from fish_speech_tpu.generate.continuous import _ChunkResult, _PartialFrames
+
+    req = batcher.submit(
+        [make_prompt(5), make_prompt(6) + 1], cond_len=0, max_new=6,
+        stream=True,
+    )
+    per_chunk_partials = [[]]
+    chunk_results = []
+    for ev in req.iter_events():
+        if isinstance(ev, _PartialFrames):
+            assert ev.frames.ndim == 2 and ev.frames.shape[1] >= 1
+            per_chunk_partials[-1].append(ev.frames)
+        else:
+            assert isinstance(ev, _ChunkResult)
+            chunk_results.append(ev)
+            per_chunk_partials.append([])
+    assert len(chunk_results) == 2
+    for parts, chunk in zip(per_chunk_partials, chunk_results):
+        stacked = np.concatenate(parts, axis=1)
+        np.testing.assert_array_equal(stacked[1:], chunk.tokens)
+        np.testing.assert_array_equal(stacked[0], chunk.semantic)
+
+
+def test_stream_request_plain_iteration_skips_partials(batcher):
+    """Iterating a stream=True request with the chunk-level contract must
+    still yield exactly the _ChunkResults."""
+    req = batcher.submit([make_prompt(4)], cond_len=0, max_new=5, stream=True)
+    chunks = [c for c in req]
+    assert len(chunks) == 1
+    assert chunks[0].tokens.shape[0] == CFG.num_codebooks

@@ -397,3 +397,75 @@ def test_opus_streaming_lowlatency_route(state):
     assert data[:4] == b"OggS"
     assert b"OpusHead" in data[:64]
     assert calls == [4], "low-latency path was not used"
+
+
+def test_batched_lowlatency_stream_matches_per_chunk(pipeline):
+    """synthesize_streaming_continuous_lowlatency (sub-chunk PCM through
+    the shared batcher + carried-state vocoder) must produce the same
+    audio as the per-chunk continuous path for a deterministic batcher."""
+    from fish_speech_tpu.ops.sampling import SamplingArgs
+    from fish_speech_tpu.pipeline import TTSPipeline
+
+    det = TTSPipeline(
+        pipeline.engine, pipeline.codec, DummyTokenizer(), WhichLM.FISH_1_5,
+        max_new_tokens=8, default_sampling=SamplingArgs(temp=0.0),
+    )
+    batcher = det.create_batcher(rows=2, horizon=4)
+    try:
+        whole = np.concatenate(
+            list(det.synthesize_streaming_continuous(batcher, "Hello world."))
+        )
+        streamed = np.concatenate(
+            list(
+                det.synthesize_streaming_continuous_lowlatency(
+                    batcher, "Hello world."
+                )
+            )
+        )
+        assert streamed.shape == whole.shape
+        np.testing.assert_allclose(streamed, whole, atol=1e-5)
+    finally:
+        batcher.shutdown()
+
+
+def test_opus_batched_lowlatency_route(pipeline):
+    """stream_chunk_frames + an attached batcher routes through the
+    batched sub-chunk streaming path (not the serial engine)."""
+    from fish_speech_tpu.audio.opus import OggOpusEncoder
+
+    if not OggOpusEncoder.available():
+        pytest.skip("native opus unavailable")
+
+    voice = pipeline.prompt_encoder.encode_conditioning_prompt(
+        "hi", np.zeros((NUM_CODEBOOKS, 3), np.int32)
+    )
+    batcher = pipeline.create_batcher(rows=2, horizon=4)
+    st = AppState(pipeline, {"default": voice}, voice, batcher=batcher)
+    calls = []
+    orig = pipeline.synthesize_streaming_continuous_lowlatency
+
+    def spy(b, text, **kw):
+        calls.append(text)
+        return orig(b, text, **kw)
+
+    pipeline.synthesize_streaming_continuous_lowlatency = spy
+    try:
+        async def fn(client):
+            resp = await client.post(
+                "/v1/audio/speech",
+                json={
+                    "voice": "default",
+                    "input": "Hello.",
+                    "response_format": "opus",
+                    "stream_chunk_frames": 4,
+                },
+            )
+            assert resp.status == 200
+            return await resp.read()
+
+        data = _sync(_run(st, fn))
+    finally:
+        pipeline.synthesize_streaming_continuous_lowlatency = orig
+        batcher.shutdown()
+    assert data[:4] == b"OggS"
+    assert calls == ["Hello."], "batched lowlatency path was not used"
