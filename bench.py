@@ -484,6 +484,102 @@ def bench_encode(trials: int = 5) -> None:
 
 
 
+def bench_ttfa_loaded(rows: int = 16, trials: int = 5) -> None:
+    """Time-to-first-audio for a streaming request admitted into a
+    continuous batcher ALREADY SERVING rows-1 concurrent requests —
+    prefill + first scheduler tick's partial frames + carried-state
+    vocode. The reference cannot measure this shape at all (requests
+    serialize on a mutex; a new request's TTFA under load is the sum of
+    everything queued ahead of it)."""
+    s = _setup_fish15()
+    jax, jnp = s.jax, s.jnp
+    cfg, tok, codec_cfg = s.cfg, s.tok, s.codec_cfg
+
+    from fish_speech_tpu.config import WhichLM
+    from fish_speech_tpu.generate.continuous import (
+        ContinuousBatcher,
+        _PartialFrames,
+    )
+    from fish_speech_tpu.generate.engine import LMEngine
+    from fish_speech_tpu.models.codec.firefly import FireflyCodec
+    from fish_speech_tpu.ops.sampling import (
+        BATCHED_REP_PEN_WINDOW,
+        SamplingArgs,
+    )
+
+    n_frames = 128
+    horizon = 16
+    engine = LMEngine(
+        s.params, cfg, tok, WhichLM.FISH_1_5,
+        batch_size=rows, cache_len=512, max_frames=n_frames,
+        rep_pen_window=BATCHED_REP_PEN_WINDOW,
+        dtype=jnp.bfloat16, prompt_buckets=(64,),
+    )
+    codec = FireflyCodec(s.codec_params, codec_cfg, buckets=(horizon,))
+    sampling = SamplingArgs(temp=0.7, top_p=0.8, top_k=256, repetition_penalty=1.4)
+    batcher = ContinuousBatcher(engine, sampling, horizon=horizon)
+    make_prompt = s.make_prompt
+
+    def drain(req):
+        for _ in req:
+            pass
+
+    import threading
+
+    def first_audio_under_load():
+        # saturate the other rows
+        bg = [
+            batcher.submit([make_prompt()], cond_len=0, max_new=n_frames)
+            for _ in range(rows - 1)
+        ]
+        threads = [threading.Thread(target=drain, args=(r,)) for r in bg]
+        for t in threads:
+            t.start()
+        time.sleep(0.15)  # let the background rows enter steady decode
+        stream = codec.start_stream(max_step_frames=horizon)
+        t0 = time.perf_counter()
+        req = batcher.submit(
+            [make_prompt()], cond_len=0, max_new=n_frames, stream=True
+        )
+        ttfa = None
+        for ev in req.iter_events():
+            if isinstance(ev, _PartialFrames):
+                pcm = stream.feed(ev.frames[1:])
+                if pcm.shape[-1]:
+                    ttfa = time.perf_counter() - t0
+                    break
+        # drain the streaming request + background before returning so
+        # nothing races a later shutdown
+        rest = threading.Thread(target=drain, args=(req,))
+        rest.start()
+        for t in threads:
+            t.join()
+        rest.join()
+        return ttfa
+
+    log("warmup (compiles batcher programs + codec session shapes)...")
+    first_audio_under_load()
+    ts = []
+    for i in range(trials):
+        t = first_audio_under_load()
+        ts.append(t)
+        log(f"loaded ttfa {t * 1e3:.0f} ms")
+    ts.sort()
+    p50 = ts[len(ts) // 2]
+    batcher.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": f"p50_ttfa_streaming_under_{rows}way_load",
+                "value": round(p50, 4),
+                "unit": "seconds_lower_is_better",
+                "vs_baseline": round(0.3 / p50, 3),
+            }
+        )
+    )
+
+
+
 if __name__ == "__main__":
     if "--verify" in sys.argv:
         verify_pallas()
@@ -495,5 +591,7 @@ if __name__ == "__main__":
         bench_ttfa()
     elif "--encode" in sys.argv:
         bench_encode()
+    elif "--ttfa-loaded" in sys.argv:
+        bench_ttfa_loaded()
     else:
         main()
