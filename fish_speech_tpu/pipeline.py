@@ -155,6 +155,38 @@ class TTSPipeline:
             engine, codec, tokenizer, lm, max_new_tokens=max_new_tokens
         )
 
+    # -- warmup ------------------------------------------------------------
+
+    def warmup_codec(self, frame_chunk: int = 16) -> None:
+        """Pre-compile the vocoder programs a serving request can hit:
+        every decode bucket up to the generation budget (the blocking WAV
+        path decodes whole text chunks into these), and — when the codec
+        streams — the carried-state session step shapes (the power-of-two
+        pieces feed() cuts chunks into). Without this, the FIRST request
+        per shape pays the compile mid-serving (multi-second; minutes on
+        a remote toolchain). LM/batcher warmup is separate
+        (LMEngine.warmup / ContinuousBatcher.warmup)."""
+        c = self.engine.cfg.num_codebooks
+        max_frames = min(self.max_new_tokens, self.engine.max_frames)
+        codes1 = np.zeros((c, 1), np.int32)
+        buckets = getattr(self.codec, "buckets", None)
+        if buckets:
+            # each bucket up to (and including) the one covering the
+            # generation budget
+            for b in buckets:
+                self.codec.decode(np.zeros((c, b), np.int32))
+                if b >= max_frames:
+                    break
+        else:
+            self.codec.decode(codes1)
+        if getattr(self.codec, "can_stream", False):
+            sess = self.codec.start_stream(max_step_frames=frame_chunk)
+            step = sess.max_step
+            while step >= 1:
+                sess.feed(np.zeros((c, step), np.int32))
+                step //= 2
+        logger.info("codec warmup done")
+
     # -- generation --------------------------------------------------------
 
     def _shift_output_tokens(self, codes: np.ndarray) -> np.ndarray:

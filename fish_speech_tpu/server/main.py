@@ -122,6 +122,7 @@ def main() -> None:
         pipeline.engine.warmup(
             pipeline.default_sampling, conditioning_lens=cond_lens
         )
+        pipeline.warmup_codec()
     batcher = (
         pipeline.create_batcher(args.continuous_batch)
         if args.continuous_batch > 0

@@ -469,3 +469,16 @@ def test_opus_batched_lowlatency_route(pipeline):
         batcher.shutdown()
     assert data[:4] == b"OggS"
     assert calls == ["Hello."], "batched lowlatency path was not used"
+
+
+def test_warmup_codec_compiles_serving_shapes(pipeline):
+    """warmup_codec must pre-populate the vocoder jit caches for every
+    decode bucket up to the budget and every streaming step shape the
+    session's power-of-two feed can produce."""
+    pipeline.warmup_codec(frame_chunk=4)
+    codec = pipeline.codec
+    # all buckets <= budget warmed through decode()
+    assert codec._decode_jit._cache_size() >= 1
+    # streaming step shapes: 4, 2, 1
+    step_keys = {k[1][-1] for k in codec._step_jit}
+    assert {4, 2, 1} <= step_keys
