@@ -188,6 +188,35 @@ def main() -> None:
     )
 
 
+def _serving_setup(s, rows: int, *, codec_buckets, int8: bool, horizon: int = 16):
+    """Shared serving configuration for bench_continuous and
+    bench_ttfa_loaded — ONE place defines the benchmarked serving shape
+    (cache/bucket/rep-pen/sampling), so the RTF and TTFA-under-load
+    numbers always measure the same configuration."""
+    from fish_speech_tpu.config import WhichLM
+    from fish_speech_tpu.generate.continuous import ContinuousBatcher
+    from fish_speech_tpu.generate.engine import LMEngine
+    from fish_speech_tpu.models.codec.firefly import FireflyCodec
+    from fish_speech_tpu.ops.sampling import (
+        BATCHED_REP_PEN_WINDOW,
+        SamplingArgs,
+    )
+
+    n_frames = 128  # ~5.9 s of audio per request
+    engine = LMEngine(
+        s.params, s.cfg, s.tok, WhichLM.FISH_1_5,
+        batch_size=rows, cache_len=512, max_frames=n_frames,
+        rep_pen_window=BATCHED_REP_PEN_WINDOW,
+        dtype=s.jnp.bfloat16, prompt_buckets=(64,), quantize_int8=int8,
+    )
+    codec = FireflyCodec(s.codec_params, s.codec_cfg, buckets=codec_buckets)
+    sampling = SamplingArgs(
+        temp=0.7, top_p=0.8, top_k=256, repetition_penalty=1.4
+    )
+    batcher = ContinuousBatcher(engine, sampling, horizon=horizon)
+    return n_frames, engine, codec, batcher
+
+
 def bench_continuous(rows: int = 16) -> None:
     """BASELINE configs[4]: N concurrent requests through the continuous
     batcher, measured end-to-end (LM decode batched across requests +
@@ -201,31 +230,11 @@ def bench_continuous(rows: int = 16) -> None:
     import threading
 
     s = _setup_fish15()
-    jax, jnp = s.jax, s.jnp
-    cfg, tok, codec_cfg = s.cfg, s.tok, s.codec_cfg
-
-    from fish_speech_tpu.config import WhichLM
-    from fish_speech_tpu.generate.continuous import ContinuousBatcher
-    from fish_speech_tpu.generate.engine import LMEngine
-    from fish_speech_tpu.models.codec.firefly import FireflyCodec
-    from fish_speech_tpu.ops.sampling import (
-        BATCHED_REP_PEN_WINDOW,
-        SamplingArgs,
-    )
-
-    n_frames = 128  # ~5.9 s of audio per request
     int8 = "--int8" in sys.argv  # opt-in weight-only int8 (ops/quant.py)
-    engine = LMEngine(
-        s.params, cfg, tok, WhichLM.FISH_1_5,
-        batch_size=rows, cache_len=512, max_frames=n_frames,
-        rep_pen_window=BATCHED_REP_PEN_WINDOW,
-        dtype=jnp.bfloat16, prompt_buckets=(64,), quantize_int8=int8,
+    n_frames, engine, codec, batcher = _serving_setup(
+        s, rows, codec_buckets=(128,), int8=int8
     )
-    codec = FireflyCodec(s.codec_params, codec_cfg, buckets=(n_frames,))
-    sampling = SamplingArgs(temp=0.7, top_p=0.8, top_k=256, repetition_penalty=1.4)
     make_prompt = s.make_prompt
-
-    batcher = ContinuousBatcher(engine, sampling, horizon=16)
 
     def run_request(i, out, t_start):
         t0 = time.perf_counter()
@@ -492,32 +501,12 @@ def bench_ttfa_loaded(rows: int = 16, trials: int = 5) -> None:
     serialize on a mutex; a new request's TTFA under load is the sum of
     everything queued ahead of it)."""
     s = _setup_fish15()
-    jax, jnp = s.jax, s.jnp
-    cfg, tok, codec_cfg = s.cfg, s.tok, s.codec_cfg
+    from fish_speech_tpu.generate.continuous import _PartialFrames
 
-    from fish_speech_tpu.config import WhichLM
-    from fish_speech_tpu.generate.continuous import (
-        ContinuousBatcher,
-        _PartialFrames,
-    )
-    from fish_speech_tpu.generate.engine import LMEngine
-    from fish_speech_tpu.models.codec.firefly import FireflyCodec
-    from fish_speech_tpu.ops.sampling import (
-        BATCHED_REP_PEN_WINDOW,
-        SamplingArgs,
-    )
-
-    n_frames = 128
     horizon = 16
-    engine = LMEngine(
-        s.params, cfg, tok, WhichLM.FISH_1_5,
-        batch_size=rows, cache_len=512, max_frames=n_frames,
-        rep_pen_window=BATCHED_REP_PEN_WINDOW,
-        dtype=jnp.bfloat16, prompt_buckets=(64,),
+    n_frames, engine, codec, batcher = _serving_setup(
+        s, rows, codec_buckets=(horizon,), int8=False, horizon=horizon
     )
-    codec = FireflyCodec(s.codec_params, codec_cfg, buckets=(horizon,))
-    sampling = SamplingArgs(temp=0.7, top_p=0.8, top_k=256, repetition_penalty=1.4)
-    batcher = ContinuousBatcher(engine, sampling, horizon=horizon)
     make_prompt = s.make_prompt
 
     def drain(req):

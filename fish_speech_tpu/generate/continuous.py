@@ -203,12 +203,21 @@ class ContinuousBatcher:
         req = BatchedRequest(prompts, cond_len, max_new, stream=stream)
         self.queue.put(req)
         self._wake.set()
+        if self._stop:
+            # submit raced shutdown: the scheduler may already be past its
+            # final queue drain, so release this client directly (a spare
+            # sentinel after normal completion is never read — __iter__
+            # stops after len(prompts) chunks)
+            req.results.put(None)
         return req
 
     def shutdown(self) -> None:
         self._stop = True
         self._wake.set()
         self._thread.join(timeout=10)
+        # requests enqueued after the scheduler's final drain
+        while not self.queue.empty():
+            self.queue.get_nowait().results.put(None)
 
     def warmup(self, conditioning_lens=(0,)) -> None:
         """Pre-compile the batcher's programs (prefill_row per prompt

@@ -727,13 +727,21 @@ class MimiCodec:
     usable as the pipeline codec for DualAR checkpoints
     (reference: server/lib/audio/codec.rs Codec::Mimi)."""
 
+    DECODE_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
     def __init__(
-        self, params: Dict, cfg: MimiConfig, num_quantizers: Optional[int] = None
+        self,
+        params: Dict,
+        cfg: MimiConfig,
+        num_quantizers: Optional[int] = None,
+        *,
+        buckets: Tuple[int, ...] = DECODE_BUCKETS,
     ) -> None:
         self.params = params
         self.cfg = dataclasses.replace(cfg)  # keep a copy
         self.sample_rate = cfg.sampling_rate
         self.num_quantizers = num_quantizers or cfg.num_quantizers
+        self.buckets = buckets
         self._decode_jit = jax.jit(
             lambda p, c: mimi_decode(c, p, self.cfg)
         )
@@ -743,12 +751,32 @@ class MimiCodec:
         self._step_jit: Dict = {}
         self._stream_init_cache: Dict = {}
 
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return n  # beyond the largest bucket: compile exact size
+
     def decode(self, codes: np.ndarray) -> np.ndarray:
+        """(K, T) or (B, K, T) codes -> (B, T*spf) PCM. The code axis is
+        padded to a bucket so arbitrary chunk lengths reuse compilations;
+        every op in the Mimi decode path is causal, so the padded tail
+        cannot affect the first T frames' samples and trimming is exact
+        (the same property the streaming decode_step relies on)."""
         codes = np.asarray(codes)
         if codes.ndim == 2:
             codes = codes[None]
-        audio = self._decode_jit(self.params, jnp.asarray(codes, jnp.int32))
-        return np.asarray(audio)[:, 0, :]
+        b, k, t = codes.shape
+        tb = self._bucket(t)
+        padded = np.zeros((b, k, tb), np.int32)
+        padded[:, :, :t] = codes
+        audio = np.asarray(
+            self._decode_jit(self.params, jnp.asarray(padded))
+        )[:, 0, :]
+        if tb == t:
+            return audio
+        spf = audio.shape[-1] // tb
+        return audio[:, : t * spf]
 
     def encode(self, audio: np.ndarray) -> np.ndarray:
         audio = np.atleast_2d(np.asarray(audio, np.float32))[:, None, :]

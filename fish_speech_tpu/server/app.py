@@ -96,6 +96,15 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
     use_batcher = (
         state.batcher is not None and seed is None and not batch_size
     )
+    # Batched sub-chunk streaming emits at the batcher's horizon
+    # granularity; a request asking for FINER chunks than the horizon
+    # gets the serial engine, which honors the exact frame_chunk.
+    if (
+        use_batcher
+        and stream_chunk_frames
+        and int(stream_chunk_frames) < state.batcher.horizon
+    ):
+        use_batcher = False
 
     if response_format == "opus":
         from fish_speech_tpu.audio.opus import OggOpusEncoder
@@ -138,9 +147,9 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
                 await resp.write(tail)
 
         if use_batcher:
-            # with stream_chunk_frames, PCM flows every scheduler tick
-            # (sub-chunk latency) while other requests share the chip;
-            # otherwise per text chunk
+            # with stream_chunk_frames >= horizon, PCM flows every
+            # scheduler tick (sub-chunk latency) while other requests
+            # share the chip; otherwise per text chunk
             make_gen = (
                 pipeline.synthesize_streaming_continuous_lowlatency
                 if stream_chunk_frames
