@@ -247,3 +247,37 @@ def test_llama_generate_cli_with_speaker_prompt(
     )
     codes = np.load(out)
     assert codes.shape[0] == CFG.num_codebooks and codes.shape[1] >= 1
+
+
+def test_pipeline_load_resolves_hub_repo_id(
+    checkpoint_dir, codec_ckpt, tmp_path, monkeypatch  # noqa: F811
+):
+    """TTSPipeline.load with a non-local checkpoint string resolves it
+    through io/hub.py (reference auto-fetches from the Hub when no local
+    dir is given, load.rs:62-88)."""
+    import shutil
+
+    from fish_speech_tpu.config import WhichModel
+    from fish_speech_tpu.io import hub
+    from fish_speech_tpu.pipeline import TTSPipeline
+
+    ckpt = tmp_path / "resolved"
+    shutil.copytree(checkpoint_dir, ckpt)
+    shutil.copy(
+        codec_ckpt / "firefly-gan-vq-fsq-8x1024-21hz-generator.safetensors",
+        ckpt,
+    )
+    calls = []
+
+    def fake_resolve(checkpoint, model, revision=None):
+        calls.append((str(checkpoint), model))
+        return hub.ResolvedCheckpoint(ckpt, None)
+
+    monkeypatch.setattr(hub, "resolve_checkpoint", fake_resolve)
+    import jax.numpy as jnp
+
+    pipe = TTSPipeline.load(
+        "someone/some-repo", WhichModel.FISH_1_5, lm_dtype=jnp.float32
+    )
+    assert calls == [("someone/some-repo", WhichModel.FISH_1_5)]
+    assert pipe.codec is not None
