@@ -334,3 +334,19 @@ def test_stream_request_plain_iteration_skips_partials(batcher):
     chunks = [c for c in req]
     assert len(chunks) == 1
     assert chunks[0].tokens.shape[0] == CFG.num_codebooks
+
+
+def test_submit_after_shutdown_releases_client():
+    """A submit that lands after shutdown's final queue drain must still
+    release the client (submit-side sentinel), not hang its iterator."""
+    params = init_dual_ar_params(jax.random.PRNGKey(3), CFG, dtype=jnp.float32)
+    engine = LMEngine(
+        params, CFG, TOK, WhichLM.FISH_1_5,
+        batch_size=1, cache_len=64, max_frames=8,
+        dtype=jnp.float32, prompt_buckets=(16,),
+    )
+    b = ContinuousBatcher(engine, SamplingArgs(temp=0.8, top_k=8), horizon=4)
+    b.shutdown()
+    req = b.submit([make_prompt(4)], cond_len=0, max_new=4)
+    with pytest.raises(RuntimeError, match="shut down"):
+        list(req)
