@@ -2,5 +2,6 @@
 
 from fish_speech_tpu.models.codec.firefly import (  # noqa: F401
     FireflyCodec,
+    FireflyStreamSession,
     init_firefly_params,
 )
