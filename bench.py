@@ -146,9 +146,10 @@ def main() -> None:
     _ = codec.decode(np.ascontiguousarray(codes[:, : n_frames - 1]))
     log(f"warmup vocoder (compile): {time.perf_counter() - t1:.1f}s")
 
-    # Timed run.
+    # Timed run: best of 5 (run-to-run tunnel variance is ~±10%,
+    # docs/TPU_NOTES.md #11; each trial is ~0.4 s so this is cheap).
     best_rtf = None
-    for trial in range(3):
+    for trial in range(5):
         t0 = time.perf_counter()
         res, _ = engine.generate(
             prompt, max_new_tokens=n_frames, sampling=sampling, seed=trial + 1
