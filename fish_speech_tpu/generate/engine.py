@@ -684,6 +684,7 @@ class LMEngine:
         sampling: Optional[SamplingArgs] = None,
         buckets=None,
         conditioning_lens=(0,),
+        chunk_horizons=(),
     ):
         """Pre-compile the prefill (per prompt bucket) and decode-loop
         programs so the first real request pays no compile latency
@@ -728,6 +729,19 @@ class LMEngine:
         )
         np.asarray(out[:1])
         logger.info("warmup decode loop: %.1fs", time.perf_counter() - t0)
+        # short-horizon decode chunks are DISTINCT programs (jit key
+        # includes the horizon cap); the low-latency streaming path uses
+        # them, so warm each horizon the server will serve
+        for h in chunk_horizons:
+            t0 = time.perf_counter()
+            state = self.init_state(seed=0)
+            state, out, _, _ = self.decode_chunk(state, sampling, h)
+            np.asarray(out[:1])
+            logger.info(
+                "warmup decode chunk horizon %d: %.1fs",
+                h,
+                time.perf_counter() - t0,
+            )
 
     def rewind(self, state: GenState, length: int) -> GenState:
         """Logical equivalent of clear_slow_caches_until(length)

@@ -120,7 +120,9 @@ def main() -> None:
             lens.add(n_cond)
         cond_lens = tuple(sorted(lens))
         pipeline.engine.warmup(
-            pipeline.default_sampling, conditioning_lens=cond_lens
+            pipeline.default_sampling,
+            conditioning_lens=cond_lens,
+            chunk_horizons=(16,),  # serial lowlatency default frame_chunk
         )
         pipeline.warmup_codec()
     batcher = (
