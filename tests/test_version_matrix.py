@@ -330,3 +330,31 @@ class TestV12LM:
         assert pcm.ndim == 1 and len(pcm) > 0
         assert np.isfinite(pcm).all()
         assert all(c.codes.shape[0] == 4 for c in chunks)
+
+    def test_pipeline_lowlatency_1_2_fallback(self, engine_12):
+        """1.2 lowlatency streaming goes through the full-prefix delta
+        fallback (symmetric pads: can_stream False). Total sample count
+        must match the codec rate; chunk boundaries are approximate by
+        construction (future context) so only shape/finiteness assert."""
+        from fish_speech_tpu.pipeline import TTSPipeline
+
+        codec_params = init_firefly_params(jax.random.PRNGKey(1), TINY_1_2)
+        codec = FireflyCodec(codec_params, TINY_1_2, buckets=(16,))
+        assert not codec.can_stream
+        pipe = TTSPipeline(
+            engine_12, codec, DummyTokenizer(), WhichLM.FISH_1_2,
+            max_new_tokens=12,
+        )
+        parts = list(
+            pipe.synthesize_streaming_lowlatency(
+                "hello world", frame_chunk=4,
+                sampling=SamplingArgs(temp=0.0), seed=11,
+            )
+        )
+        assert parts, "no streamed PCM produced"
+        pcm = np.concatenate(parts)
+        assert np.isfinite(pcm).all()
+        blocking = pipe.synthesize(
+            "hello world", sampling=SamplingArgs(temp=0.0), seed=11
+        )
+        assert pcm.shape == blocking.shape
