@@ -350,3 +350,57 @@ def test_submit_after_shutdown_releases_client():
     req = b.submit([make_prompt(4)], cond_len=0, max_new=4)
     with pytest.raises(RuntimeError, match="shut down"):
         list(req)
+
+
+def test_randomized_soak_streaming_mixed(batcher):
+    """Soak with a MIX of stream and non-stream requests from concurrent
+    threads: streaming consumers verify per-chunk partial-concat ==
+    chunk result under churn (epoch-discard of speculative frames must
+    never leak a stale partial); non-stream requests keep their contract."""
+    from fish_speech_tpu.generate.continuous import _ChunkResult, _PartialFrames
+
+    rng = np.random.default_rng(23)
+    reqs = []
+    for i in range(8):
+        n_chunks = int(rng.integers(1, 4))
+        prompts = [make_prompt(int(rng.integers(3, 12))) for _ in range(n_chunks)]
+        cond_len = int(rng.integers(0, 3)) if n_chunks > 1 else 0
+        max_new = int(rng.integers(2, 8))
+        reqs.append((prompts, cond_len, max_new, i % 2 == 0))
+
+    failures = {}
+    done = {}
+
+    def worker(i):
+        prompts, cond_len, max_new, stream = reqs[i]
+        try:
+            req = batcher.submit(prompts, cond_len, max_new, stream=stream)
+            if not stream:
+                done[i] = len([c for c in req])
+                return
+            partials = [[]]
+            n_chunks = 0
+            for ev in req.iter_events():
+                if isinstance(ev, _PartialFrames):
+                    partials[-1].append(ev.frames)
+                else:
+                    assert isinstance(ev, _ChunkResult)
+                    stacked = np.concatenate(partials[-1], axis=1)
+                    np.testing.assert_array_equal(stacked[1:], ev.tokens)
+                    np.testing.assert_array_equal(stacked[0], ev.semantic)
+                    partials.append([])
+                    n_chunks += 1
+            done[i] = n_chunks
+        except Exception as e:  # noqa: BLE001 — surface in main thread
+            failures[i] = e
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(len(reqs))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not failures, failures
+    for i, (prompts, _, _, _) in enumerate(reqs):
+        assert done.get(i) == len(prompts), f"request {i} incomplete"
