@@ -104,3 +104,51 @@ def test_sharded_continuous_batcher_matches_serial():
     assert len(chunks) == 1
     np.testing.assert_array_equal(chunks[0].semantic, ref.semantic)
     np.testing.assert_array_equal(chunks[0].tokens, ref.tokens)
+
+
+def test_sharded_decode_matches_unsharded_tp4():
+    """tp=4 (dp=2) on a 4-KV-head config: the head/FFN shardings must
+    generalize beyond the stock Fish tp=2 bound (mesh.py: tp is limited
+    by the checkpoint's KV-head count, not by the implementation)."""
+    import dataclasses
+
+    cfg4 = dataclasses.replace(CFG, n_head=8, n_local_heads=4, dim=64, head_dim=8,
+                               intermediate_size=128)
+    params = init_dual_ar_params(jax.random.PRNGKey(2), cfg4, dtype=jnp.float32)
+    sampling = SamplingArgs(temp=0.0)
+
+    rng = np.random.default_rng(3)
+    prompt = np.concatenate(
+        [
+            rng.integers(18, 30, size=(2, 1, 6)),
+            np.zeros((2, cfg4.num_codebooks, 6), np.int64),
+        ],
+        axis=1,
+    )
+
+    def make_engine(p):
+        return LMEngine(
+            p, cfg4, TOK, WhichLM.FISH_1_5,
+            batch_size=2, cache_len=32, max_frames=4,
+            dtype=jnp.float32, prompt_buckets=(8,),
+        )
+
+    def run(shard: bool):
+        if shard:
+            mesh = make_mesh(8, tp=4)
+            with mesh:
+                engine = make_engine(shard_lm_params(params, mesh, cfg4))
+                state = shard_gen_state(engine.init_state(seed=9), mesh, cfg4)
+                state, frame, _ = engine.prefill(state, prompt, sampling)
+                state, frame2 = engine._get_step(sampling)(state)
+                return np.asarray(frame), np.asarray(frame2)
+        engine = make_engine(params)
+        state = engine.init_state(seed=9)
+        state, frame, _ = engine.prefill(state, prompt, sampling)
+        state, frame2 = engine._get_step(sampling)(state)
+        return np.asarray(frame), np.asarray(frame2)
+
+    f1, f2 = run(False)
+    g1, g2 = run(True)
+    np.testing.assert_array_equal(f1, g1)
+    np.testing.assert_array_equal(f2, g2)
