@@ -61,3 +61,35 @@ def test_fused_decode_attention_untouched_layers_preserved():
     for l in (0, 2, 3):
         np.testing.assert_array_equal(np.asarray(got_k[l]), np.asarray(ck[l]))
         np.testing.assert_array_equal(np.asarray(got_v[l]), np.asarray(cv[l]))
+
+
+def test_fused_decode_attention_randomized_shapes():
+    """Randomized sweep over (B, H/KV ratio, S, pos) incl. edge positions
+    (0 and S-1) — shape- or indexing-specific kernel bugs that the two
+    fixed-shape tests above could miss."""
+    rng = np.random.default_rng(42)
+    cases = [
+        (1, 4, 1, 16, 64),   # kv=1 (max grouping)
+        (3, 8, 4, 48, 64),   # odd batch
+        (2, 16, 2, 128, 64), # long cache
+        (4, 2, 2, 16, 64),   # no grouping (h == kv)
+    ]
+    for B, H, KV, S, HD in cases:
+        q = jnp.asarray(rng.normal(size=(B, H, HD)), jnp.float32)
+        kn = jnp.asarray(rng.normal(size=(B, KV, HD)), jnp.float32)
+        vn = jnp.asarray(rng.normal(size=(B, KV, HD)), jnp.float32)
+        # edge write positions: first slot, last slot, plus random interior
+        pos_vals = [0, S - 1] + list(rng.integers(0, S, size=max(B - 2, 0)))
+        pos = jnp.asarray(pos_vals[:B], jnp.int32)
+        ck = jnp.asarray(rng.normal(size=(2, B, KV, S, HD)), jnp.float32)
+        cv = jnp.asarray(rng.normal(size=(2, B, KV, S, HD)), jnp.float32)
+        got_a, got_k, got_v = fused_decode_attention(
+            q, kn, vn, pos, ck, cv, jnp.int32(1), interpret=True
+        )
+        ref_a, ref_k, ref_v = _xla_reference(q, kn, vn, pos, ck, cv, 1)
+        np.testing.assert_allclose(
+            got_a, ref_a, rtol=1e-5, atol=1e-5,
+            err_msg=f"case B={B} H={H} KV={KV} S={S}",
+        )
+        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(ref_k))
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
