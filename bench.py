@@ -273,7 +273,8 @@ def bench_continuous(rows: int = 16) -> None:
         )
         return rtfs[n // 2], total_audio / wall
 
-    log("warmup (compiles prefill_row, decode chunk, vocoder)...")
+    log("warmup (compiles admission prefills incl. burst shapes, decode chunk, vocoder)...")
+    batcher.warmup()  # deterministic: every pow2 burst size + singles
     run_wave(rows, "warmup")
     p50_rtf, agg = run_wave(rows, "measured")
     batcher.shutdown()

@@ -250,6 +250,24 @@ class ContinuousBatcher:
                     prompts = [chunk]
                 for _ in self.submit(prompts, cond, 2):
                     pass
+        # burst-admission shapes: a cold wave admits new requests in
+        # power-of-two groups through prefill_rows (distinct jit shape
+        # per group size); warm each pow2 k <= batch size directly on a
+        # scratch state (going through the scheduler would only form
+        # bursts if the queue happened to fill between ticks)
+        b = eng.batch_size
+        if b > 1:
+            bucket = eng.prompt_buckets[0]
+            n = min(bucket, eng.cache_len - self.horizon - 2)
+            prompt = np.zeros((c + 1, n), np.int32)
+            k = 2
+            while k <= b:
+                st = eng.init_state(seed=0)
+                st, frames, _ = eng.prefill_rows(
+                    st, [prompt] * k, self.sampling, 0
+                )
+                jax.block_until_ready(frames)
+                k *= 2
 
     # -- scheduler ---------------------------------------------------------
 
@@ -257,11 +275,18 @@ class ContinuousBatcher:
         """Fill free rows: next chunks of rows whose previous chunk just
         finished first (those keep their row), then new requests. Prefills
         are DISPATCHED here (async); their first frames are resolved when
-        this tick's in-flight entry is processed."""
+        this tick's in-flight entry is processed.
+
+        New requests landing on CONTIGUOUS free rows are admitted in
+        power-of-two BURSTS through one device program each
+        (engine.prefill_rows): a cold 16-way wave costs 1 prefill
+        dispatch instead of 16 sequential ones. Next-chunk admissions
+        keep the per-row path (their offsets differ per request)."""
         admits: List[_Admit] = []
         for slot in self.rows:
             if slot is not None and not slot.active:
                 admits.append(self._start_chunk(slot))
+        placements: List[_RowState] = []
         for r in range(len(self.rows)):
             if self.rows[r] is None:
                 try:
@@ -270,8 +295,58 @@ class ContinuousBatcher:
                     break
                 slot = _RowState(req, r)
                 self.rows[r] = slot
-                admits.append(self._start_chunk(slot))
+                placements.append(slot)
+        i = 0
+        while i < len(placements):
+            j = i
+            while (
+                j + 1 < len(placements)
+                and placements[j + 1].row == placements[j].row + 1
+            ):
+                j += 1
+            run = placements[i : j + 1]
+            s, k = 0, len(run)
+            while s < k:
+                # power-of-two group sizes bound the distinct jit shapes
+                # to log2(B) while covering any burst size
+                g = 1 << ((k - s).bit_length() - 1)
+                group = run[s : s + g]
+                if g == 1:
+                    admits.append(self._start_chunk(group[0]))
+                else:
+                    admits.extend(self._start_chunk_burst(group))
+                s += g
+            i = j + 1
         return admits
+
+    def _start_chunk_burst(self, slots: List[_RowState]) -> List[_Admit]:
+        """Admit a contiguous run of FRESH requests (first chunk, offset
+        0) in one device program."""
+        prompts = []
+        for slot in slots:
+            slot.chunk_idx += 1  # -1 -> 0
+            prompt = np.asarray(slot.req.prompts[0])
+            if prompt.ndim == 3:
+                prompt = prompt[0]
+            prompts.append(prompt)
+            slot.frames = []
+            slot.emitted = 0
+            slot.budget = max(
+                min(
+                    slot.req.max_new - 1,
+                    self.engine.cache_len - prompt.shape[-1] - 1,
+                ),
+                0,
+            )
+            slot.active = True
+            self.epoch[slot.row] += 1
+        self.state, frames, eoses = self.engine.prefill_rows(
+            self.state, prompts, self.sampling, slots[0].row
+        )
+        return [
+            _Admit(slot, self.epoch[slot.row], frames[i], eoses[i])
+            for i, slot in enumerate(slots)
+        ]
 
     def _start_chunk(self, slot: _RowState) -> _Admit:
         req = slot.req

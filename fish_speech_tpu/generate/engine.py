@@ -449,6 +449,95 @@ class LMEngine:
         )
         return state, frame, is_eos
 
+    def _get_prefill_rows(self, sampling: SamplingArgs, kv_extent: int):
+        """Jitted k-row admission prefill (contiguous rows [row0, row0+k)):
+        one device program admits a whole burst of requests instead of k
+        sequential prefill_row dispatches. Retraces per k (jit shape
+        specialization); the batcher groups admissions so only a few k
+        values ever occur."""
+        key = ("rows", sampling, kv_extent)
+        if key not in self._prefill_jit:
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def prefill_rows_fn(params, tokens, state: GenState, seq_lens, offset, row0):
+                k = tokens.shape[0]
+                rng, frame_rng = jax.random.split(state.rng)
+                logits, hidden, cache = slow_prefill(
+                    params,
+                    self.cfg,
+                    self.token_cfg,
+                    tokens,
+                    seq_lens,
+                    state.cache,
+                    row0,
+                    offset,
+                    kv_extent=kv_extent,
+                )
+                res: FrameResult = generate_frame(
+                    params,
+                    self.cfg,
+                    self.token_cfg,
+                    self.lm,
+                    sampling,
+                    logits,
+                    hidden,
+                    RepPenWindow.init((k, self.cfg.num_codebooks), self.rep_pen_window),
+                    None,
+                    frame_rng,
+                )
+                upd = jax.lax.dynamic_update_slice
+                new_state = GenState(
+                    cache=cache,
+                    pos=upd(state.pos, offset + seq_lens, (row0,)),
+                    prev=upd(state.prev, res.tokens, (row0, 0)),
+                    rep_pen=RepPenWindow(
+                        tokens=upd(
+                            state.rep_pen.tokens,
+                            jnp.full(
+                                (k, self.cfg.num_codebooks, self.rep_pen_window),
+                                -1,
+                                jnp.int32,
+                            ),
+                            (row0, 0, 0),
+                        ),
+                        ptr=state.rep_pen.ptr,
+                    ),
+                    rng=rng,
+                    done=upd(state.done, res.is_eos, (row0,)),
+                )
+                return new_state, res.tokens, res.is_eos
+
+            self._prefill_jit[key] = prefill_rows_fn
+        return self._prefill_jit[key]
+
+    def prefill_rows(
+        self,
+        state: GenState,
+        prompts,  # list of (C+1, L_i) prompts, one per row
+        sampling: SamplingArgs,
+        row0: int,
+    ) -> Tuple[GenState, jnp.ndarray, jnp.ndarray]:
+        """Admit a burst of fresh prompts into contiguous rows
+        [row0, row0+k) in ONE device program (fresh sequences only:
+        offset 0). Returns (state, frames (k, C+1), is_eos (k,)) —
+        frames/is_eos are device futures."""
+        k = len(prompts)
+        sls = [p.shape[-1] for p in prompts]
+        bucket = _bucket_for(max(sls), self.prompt_buckets)
+        c = self.cfg.num_codebooks
+        padded = np.zeros((k, c + 1, bucket), np.int32)
+        for i, p in enumerate(prompts):
+            padded[i, :, : sls[i]] = p
+        fn = self._get_prefill_rows(sampling, self._kv_extent_for(0, bucket))
+        return fn(
+            self.params,
+            jnp.asarray(padded),
+            state,
+            jnp.asarray(sls, jnp.int32),
+            jnp.int32(0),
+            jnp.int32(row0),
+        )
+
     def decode_chunk(
         self,
         state: GenState,

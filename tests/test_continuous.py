@@ -404,3 +404,36 @@ def test_randomized_soak_streaming_mixed(batcher):
     assert not failures, failures
     for i, (prompts, _, _, _) in enumerate(reqs):
         assert done.get(i) == len(prompts), f"request {i} incomplete"
+
+
+def test_burst_prefill_rows_matches_sequential():
+    """engine.prefill_rows (one program admitting k contiguous rows) must
+    leave the same state/frames as k sequential prefill_row calls at
+    temp=0 (the burst-admission fast path in ContinuousBatcher._admit)."""
+    params = init_dual_ar_params(jax.random.PRNGKey(5), CFG, dtype=jnp.float32)
+    engine = LMEngine(
+        params, CFG, TOK, WhichLM.FISH_1_5,
+        batch_size=4, cache_len=64, max_frames=8,
+        dtype=jnp.float32, prompt_buckets=(16,),
+    )
+    s = SamplingArgs(temp=0.0)
+    prompts = [make_prompt(4 + i) for i in range(3)]
+
+    st_a = engine.init_state(seed=0)
+    st_a, frames_a, eos_a = engine.prefill_rows(st_a, prompts, s, row0=1)
+    frames_a = np.asarray(frames_a)
+
+    st_b = engine.init_state(seed=0)
+    frames_b = []
+    for i, p in enumerate(prompts):
+        st_b, f, _ = engine.prefill_row(st_b, p, s, row=1 + i)
+        frames_b.append(np.asarray(f))
+    frames_b = np.stack(frames_b)
+
+    np.testing.assert_array_equal(frames_a, frames_b)
+    np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
+    np.testing.assert_array_equal(np.asarray(st_a.prev), np.asarray(st_b.prev))
+    np.testing.assert_array_equal(np.asarray(st_a.done), np.asarray(st_b.done))
+    np.testing.assert_allclose(
+        np.asarray(st_a.cache.k), np.asarray(st_b.cache.k), atol=1e-5
+    )
