@@ -549,6 +549,7 @@ def bench_ttfa_loaded(rows: int = 16, trials: int = 5) -> None:
         return ttfa
 
     log("warmup (compiles batcher programs + codec session shapes)...")
+    batcher.warmup()  # deterministic: every pow2 burst size + singles
     first_audio_under_load()
     ts = []
     for i in range(trials):
