@@ -152,3 +152,54 @@ def test_sharded_decode_matches_unsharded_tp4():
     g1, g2 = run(True)
     np.testing.assert_array_equal(f1, g1)
     np.testing.assert_array_equal(f2, g2)
+
+
+def test_sharded_burst_prefill_matches_unsharded():
+    """Burst admission (engine.prefill_rows) under a dp=4 x tp=2 mesh:
+    GSPMD must partition the multi-row prefill + state splices without
+    changing semantics (the sharded continuous batcher forms bursts)."""
+    params = init_dual_ar_params(jax.random.PRNGKey(4), CFG, dtype=jnp.float32)
+    sampling = SamplingArgs(temp=0.0)
+    rng = np.random.default_rng(5)
+    prompts = [
+        np.concatenate(
+            [
+                rng.integers(18, 30, size=(1, 4 + i)),
+                np.zeros((CFG.num_codebooks, 4 + i), np.int64),
+            ],
+            axis=0,
+        )
+        for i in range(3)
+    ]
+
+    def make_engine(p):
+        return LMEngine(
+            p, CFG, TOK, WhichLM.FISH_1_5,
+            batch_size=4, cache_len=32, max_frames=4,
+            dtype=jnp.float32, prompt_buckets=(8,),
+        )
+
+    def run(shard: bool):
+        if shard:
+            mesh = make_mesh(8, tp=2)
+            with mesh:
+                engine = make_engine(shard_lm_params(params, mesh, CFG))
+                state = shard_gen_state(engine.init_state(seed=7), mesh, CFG)
+                state, frames, eos = engine.prefill_rows(
+                    state, prompts, sampling, row0=1
+                )
+                return (
+                    np.asarray(frames),
+                    np.asarray(state.pos),
+                    np.asarray(state.done),
+                )
+        engine = make_engine(params)
+        state = engine.init_state(seed=7)
+        state, frames, eos = engine.prefill_rows(state, prompts, sampling, row0=1)
+        return np.asarray(frames), np.asarray(state.pos), np.asarray(state.done)
+
+    f_a, pos_a, done_a = run(False)
+    f_b, pos_b, done_b = run(True)
+    np.testing.assert_array_equal(f_a, f_b)
+    np.testing.assert_array_equal(pos_a, pos_b)
+    np.testing.assert_array_equal(done_a, done_b)
