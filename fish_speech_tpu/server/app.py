@@ -146,38 +146,50 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
             if tail:
                 await resp.write(tail)
 
-        if use_batcher:
-            # with stream_chunk_frames >= horizon, PCM flows every
-            # scheduler tick (sub-chunk latency) while other requests
-            # share the chip; otherwise per text chunk
-            make_gen = (
-                pipeline.synthesize_streaming_continuous_lowlatency
-                if stream_chunk_frames
-                else pipeline.synthesize_streaming_continuous
-            )
-            gen = make_gen(
-                state.batcher,
-                text,
-                voice_conditioning=conditioning,
-                sysprompt=sysprompt,
-                max_new_tokens=max_new,
-            )
-            await _stream(gen, as_pcm=True)
-        else:
-            async with state.lock:
-                if stream_chunk_frames:
-                    # emit PCM every N LM frames through the carried-state
-                    # streaming vocoder (pipeline lowlatency path) instead
-                    # of per text chunk
-                    gen = pipeline.synthesize_streaming_lowlatency(
-                        text,
-                        frame_chunk=int(stream_chunk_frames),
-                        **kwargs,
-                    )
-                    await _stream(gen, as_pcm=True)
-                else:
-                    gen = pipeline.synthesize_streaming(text, **kwargs)
-                    await _stream(gen, as_pcm=False)
+        try:
+            if use_batcher:
+                # with stream_chunk_frames >= horizon, PCM flows every
+                # scheduler tick (sub-chunk latency) while other requests
+                # share the chip; otherwise per text chunk
+                make_gen = (
+                    pipeline.synthesize_streaming_continuous_lowlatency
+                    if stream_chunk_frames
+                    else pipeline.synthesize_streaming_continuous
+                )
+                gen = make_gen(
+                    state.batcher,
+                    text,
+                    voice_conditioning=conditioning,
+                    sysprompt=sysprompt,
+                    max_new_tokens=max_new,
+                )
+                await _stream(gen, as_pcm=True)
+            else:
+                async with state.lock:
+                    if stream_chunk_frames:
+                        # emit PCM every N LM frames through the
+                        # carried-state streaming vocoder (pipeline
+                        # lowlatency path) instead of per text chunk
+                        gen = pipeline.synthesize_streaming_lowlatency(
+                            text,
+                            frame_chunk=int(stream_chunk_frames),
+                            **kwargs,
+                        )
+                        await _stream(gen, as_pcm=True)
+                    else:
+                        gen = pipeline.synthesize_streaming(text, **kwargs)
+                        await _stream(gen, as_pcm=False)
+        except Exception:
+            # headers are already sent, so a 500 is impossible — close
+            # the connection so the client sees a terminated stream
+            # instead of waiting out its timeout on a chunked response
+            # that will never end (e.g. the runaway-reroll failure,
+            # pipeline._generate_codes_chunked)
+            logger.exception("streaming synthesis failed mid-response")
+            encoder.close()
+            if request.transport is not None:
+                request.transport.close()
+            return resp
         encoder.close()
         await resp.write_eof()
         return resp

@@ -149,6 +149,18 @@ def _sync(coro):
 
 
 
+async def _read_stream_or_skip(resp):
+    """Read a chunked opus stream; a connection terminated mid-stream is
+    the server's runaway-abort path (headers already sent, so no 500 is
+    possible) — skip like _post_ok does for blocking routes."""
+    import aiohttp
+
+    try:
+        return await resp.read()
+    except aiohttp.ClientError:
+        pytest.skip("random-weight generation ran away mid-stream")
+
+
 async def _post_ok(client, url, payload):
     """POST, skipping the test on the rare legitimate runaway-500 that a
     random-weight model can produce (CPU numeric jitter makes this
@@ -246,7 +258,7 @@ def test_opus_streaming_route(state):
         )
         assert resp.status == 200
         assert resp.content_type == "audio/ogg"
-        return await resp.read()
+        return await _read_stream_or_skip(resp)
 
     data = _sync(_run(state, fn))
     assert data[:4] == b"OggS"
@@ -348,7 +360,7 @@ def test_opus_streaming_route_with_continuous_batcher(pipeline):
             )
             assert resp.status == 200, await resp.text()
             assert resp.content_type == "audio/ogg"
-            return await resp.read()
+            return await _read_stream_or_skip(resp)
 
         ogg = _sync(_run(st, fn))
         assert ogg[:4] == b"OggS"
@@ -389,7 +401,7 @@ def test_opus_streaming_lowlatency_route(state):
             )
             assert resp.status == 200
             assert resp.content_type == "audio/ogg"
-            return await resp.read()
+            return await _read_stream_or_skip(resp)
 
         data = _sync(_run(state, fn))
     finally:
@@ -461,7 +473,7 @@ def test_opus_batched_lowlatency_route(pipeline):
                 },
             )
             assert resp.status == 200
-            return await resp.read()
+            return await _read_stream_or_skip(resp)
 
         data = _sync(_run(st, fn))
     finally:
@@ -482,3 +494,52 @@ def test_warmup_codec_compiles_serving_shapes(pipeline):
     # streaming step shapes: 4, 2, 1
     step_keys = {k[1][-1] for k in codec._step_jit}
     assert {4, 2, 1} <= step_keys
+
+
+def test_opus_stream_aborts_connection_on_midstream_error(state):
+    """A generation failure AFTER headers are sent (no 500 possible) must
+    close the connection promptly — the client sees a terminated stream
+    instead of waiting out its timeout on an unfinished chunked body
+    (regression: the runaway-reroll RuntimeError used to leave the
+    response open forever)."""
+    import time as _time
+
+    import aiohttp
+
+    from fish_speech_tpu.audio.opus import OggOpusEncoder
+
+    if not OggOpusEncoder.available():
+        pytest.skip("native opus unavailable")
+
+    pipeline = state.pipeline
+    orig = pipeline.synthesize_streaming
+
+    def boom(text, **kw):
+        gen = orig(text, **kw)
+        yield next(gen)
+        raise RuntimeError("generation ran away (synthetic)")
+
+    pipeline.synthesize_streaming = boom
+    try:
+        async def fn(client):
+            resp = await client.post(
+                "/v1/audio/speech",
+                json={
+                    "voice": "default",
+                    "input": "Hello.",
+                    "response_format": "opus",
+                    "seed": 1,
+                },
+            )
+            assert resp.status == 200  # headers were already sent
+            t0 = _time.perf_counter()
+            try:
+                await resp.read()
+            except aiohttp.ClientError:
+                pass  # terminated stream is the expected signal
+            return _time.perf_counter() - t0
+
+        elapsed = _sync(_run(state, fn))
+    finally:
+        pipeline.synthesize_streaming = orig
+    assert elapsed < 60, "client waited on an unterminated stream"
