@@ -76,10 +76,17 @@ class StreamingResampler:
         hi = np.minimum(np.ceil(pos).astype(np.int64), total_in - 1)
         frac = (pos - lo).astype(np.float32)
         b = self._buf_start
-        out = self._buf[lo - b] * (1.0 - frac) + self._buf[hi - b] * frac
+        # f64 floor(j/ratio) can land one BELOW the integer floor
+        # (j*f)//t (e.g. j=240 at 44100->24000); the left-margin sample
+        # kept by `keep_from - 1` below makes lo - b >= 0 in that case.
+        # Clamp anyway so pathological drift can never wrap to -1 and
+        # read the newest sample instead of the oldest.
+        out = (self._buf[np.maximum(lo - b, 0)] * (1.0 - frac)
+               + self._buf[hi - b] * frac)
         self._n_out = j_end
-        # drop input no future output can read (next j reads floor pos)
-        keep_from = (self._n_out * f) // t
+        # drop input no future output can read (next j reads floor pos;
+        # minus 1 sample of left margin for the f64-vs-integer floor skew)
+        keep_from = max((self._n_out * f) // t - 1, 0)
         drop = min(max(keep_from - b, 0), len(self._buf))
         if drop:
             self._buf = self._buf[drop:]

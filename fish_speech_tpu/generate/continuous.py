@@ -215,6 +215,22 @@ class ContinuousBatcher:
         self._stop = True
         self._wake.set()
         self._thread.join(timeout=10)
+        if self._thread.is_alive():
+            # Scheduler wedged (e.g. device hang mid device_get): its own
+            # exit drain will never run, so release clients blocked on
+            # in-flight rows here, same sentinel protocol as the scheduler's
+            # exception path. The queue drain below stays racy against a
+            # live-but-stuck thread, but every waiter gets unblocked.
+            logger.error(
+                "continuous batcher scheduler did not exit within 10s; "
+                "force-releasing %d in-flight rows",
+                sum(s is not None for s in self.rows),
+            )
+            err = RuntimeError("batcher shutdown timed out (scheduler hung)")
+            for slot in self.rows:
+                if slot is not None:
+                    slot.req.error = err
+                    slot.req.results.put(None)
         # requests enqueued after the scheduler's final drain
         while not self.queue.empty():
             self.queue.get_nowait().results.put(None)

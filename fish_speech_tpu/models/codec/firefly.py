@@ -223,7 +223,14 @@ class FireflyCodec:
     def decode_step(self, codes: np.ndarray, state):
         """One streaming step: codes (C, t) or (B, C, t) -> (pcm
         (B, t*ds*hop), new_state). Use start_stream() for chunk-size
-        bucketing; state comes from firefly_stream.stream_state_init."""
+        bucketing; state comes from firefly_stream.stream_state_init.
+
+        Any chunk size t >= 1 is exact: every strided op in the decode
+        path is a TRANSPOSED conv whose overlap-add tail carry
+        (stream_conv.stream_conv_transpose1d) is chunk-size-invariant.
+        The multiple-of-stride restriction on stream_conv1d applies only
+        to the encode-side downsample stack, which has no streaming
+        entry point."""
         from fish_speech_tpu.models.codec.firefly_stream import (
             firefly_decode_step,
         )

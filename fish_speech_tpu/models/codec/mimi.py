@@ -808,6 +808,22 @@ class MimiCodec:
         if codes.ndim == 2:
             codes = codes[None]
         t = codes.shape[-1]
+        # Ring-cache safety bound: the KV ring has sliding_window + max_step
+        # slots (transformer_stream_init); feeding more transformer positions
+        # than the max_step oversize in ONE call would recycle slots still
+        # inside earlier in-chunk queries' windows -> silently wrong audio.
+        # (StreamSessionBase.feed subdivides; direct callers must not exceed.)
+        tsteps = t * (2 if self.cfg.has_resample else 1)
+        ring = int(state["transformer"]["slot_pos"].shape[0])
+        max_step = ring - self.cfg.sliding_window
+        if tsteps > max_step:
+            raise ValueError(
+                f"decode_step fed {t} code frames = {tsteps} transformer "
+                f"positions, but this stream state supports at most "
+                f"{max_step} per call (ring {ring} - window "
+                f"{self.cfg.sliding_window}); re-init the stream state with "
+                f"a larger max_step or feed smaller chunks"
+            )
         key = ("step", codes.shape)
         if key not in self._step_jit:
             self._step_jit[key] = jax.jit(
