@@ -116,7 +116,14 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
             )
         resp = web.StreamResponse(
             status=200,
-            headers={"Content-Type": "audio/ogg"},
+            headers={
+                "Content-Type": "audio/ogg",
+                # set here, not in cors_middleware: a prepared
+                # StreamResponse's headers are already on the wire by the
+                # time middlewares unwind
+                "Access-Control-Allow-Origin": "*",
+                "Access-Control-Expose-Headers": "*",
+            },
         )
         resp.enable_chunked_encoding()
         await resp.prepare(request)
@@ -338,9 +345,45 @@ async def error_middleware(request: web.Request, handler):
         return web.json_response({"error": str(exc)}, status=500)
 
 
+@web.middleware
+async def cors_middleware(request: web.Request, handler):
+    """Permissive CORS, mirroring the reference's
+    `CorsLayer::permissive()` on the axum router
+    (reference: server/src/main.rs:61-75): any origin / method / headers,
+    so browser-based OpenAI-compatible clients on another origin pass
+    preflight and can read responses."""
+    def _apply(resp) -> None:
+        if resp.prepared:  # streaming responses set their own (app.py:117)
+            return
+        resp.headers["Access-Control-Allow-Origin"] = "*"
+        resp.headers["Access-Control-Allow-Methods"] = "*"
+        resp.headers["Access-Control-Allow-Headers"] = request.headers.get(
+            "Access-Control-Request-Headers", "*"
+        )
+        resp.headers["Access-Control-Expose-Headers"] = "*"
+
+    if (
+        request.method == "OPTIONS"
+        and "Access-Control-Request-Method" in request.headers
+    ):
+        resp = web.Response(status=204)
+    else:
+        try:
+            resp = await handler(request)
+        except web.HTTPException as exc:
+            # an HTTPException IS a response; without the headers the
+            # browser hides the error body from the calling page
+            _apply(exc)
+            raise
+    _apply(resp)
+    return resp
+
+
 def create_app(state: AppState) -> web.Application:
+    # cors outermost so even error responses carry the CORS headers
     app = web.Application(
-        client_max_size=MAX_BODY_SIZE, middlewares=[error_middleware]
+        client_max_size=MAX_BODY_SIZE,
+        middlewares=[cors_middleware, error_middleware],
     )
     app["state"] = state
     app.router.add_post("/v1/audio/speech", handle_speech)

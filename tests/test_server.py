@@ -181,6 +181,45 @@ def test_voices_route(state):
     assert data == {"voices": ["default"]}
 
 
+def test_cors_preflight_and_response_headers(state):
+    """Permissive CORS parity with the reference's CorsLayer::permissive()
+    (server/src/main.rs:61-75): a browser preflight OPTIONS succeeds and
+    actual responses carry Access-Control-Allow-Origin."""
+
+    async def fn(client):
+        pre = await client.options(
+            "/v1/audio/speech",
+            headers={
+                "Origin": "http://example.com",
+                "Access-Control-Request-Method": "POST",
+                "Access-Control-Request-Headers": "content-type",
+            },
+        )
+        assert pre.status in (200, 204)
+        assert pre.headers["Access-Control-Allow-Origin"] == "*"
+        assert "POST" in pre.headers["Access-Control-Allow-Methods"] or (
+            pre.headers["Access-Control-Allow-Methods"] == "*"
+        )
+        allow_headers = pre.headers["Access-Control-Allow-Headers"].lower()
+        assert allow_headers in ("*", "content-type")
+
+        actual = await client.get(
+            "/v1/voices", headers={"Origin": "http://example.com"}
+        )
+        assert actual.status == 200
+        assert actual.headers["Access-Control-Allow-Origin"] == "*"
+
+        # error responses must carry CORS too, or the browser hides them
+        err = await client.post(
+            "/v1/audio/speech",
+            json={"voice": "nope", "input": "x"},
+            headers={"Origin": "http://example.com"},
+        )
+        assert err.headers["Access-Control-Allow-Origin"] == "*"
+
+    _sync(_run(state, fn))
+
+
 def test_speech_route_wav(state):
     async def fn(client):
         resp = await _post_ok(
