@@ -22,6 +22,32 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _seed_compilation_cache(cache_dir: str) -> None:
+    """Copy repo-committed compiled-program artifacts (cache_seed/) into
+    the runtime persistent-cache dir, so a cold environment skips the
+    multi-minute LM/Mosaic compile. Entries are keyed by content hash of
+    HLO + toolchain versions; mismatched seeds are ignored by JAX."""
+    import os
+    import shutil
+
+    seed_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "cache_seed")
+    if not os.path.isdir(seed_dir):
+        return
+    copied = 0
+    for root, _dirs, files in os.walk(seed_dir):
+        rel = os.path.relpath(root, seed_dir)
+        dst_root = os.path.join(cache_dir, rel) if rel != "." else cache_dir
+        os.makedirs(dst_root, exist_ok=True)
+        for f in files:
+            dst = os.path.join(dst_root, f)
+            if not os.path.exists(dst):
+                shutil.copy2(os.path.join(root, f), dst)
+                copied += 1
+    if copied:
+        log(f"seeded compilation cache: {copied} entries from cache_seed/")
+
+
 def _setup_fish15():
     """Shared benchmark setup for every bench mode: platform/env config,
     Fish-1.5-sized random weights on device, codec params, and a 40-token
@@ -47,10 +73,20 @@ def _setup_fish15():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_fishtpu")
+    cache_dir = os.environ.get(
+        "FISH_TPU_CACHE_DIR", "/root/.cache/jax_fishtpu"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Only persist genuinely slow compiles: caching every tiny eager CPU
     # op pollutes the cache with host-specific AOT artifacts.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # A fresh environment (the driver re-runs this benchmark in a clean
+    # container each round) pays the full LM cold compile — measured 342 s
+    # in round 2 — unless the repo-committed seed entries are copied in
+    # first. Seeding is a pure pre-population of the persistent cache:
+    # cache keys hash the serialized HLO + jaxlib/backend versions, so a
+    # stale seed is simply ignored (cache miss), never wrongly reused.
+    _seed_compilation_cache(cache_dir)
     import jax.numpy as jnp
 
     from fish_speech_tpu.config import (
@@ -149,6 +185,8 @@ def main() -> None:
     # Timed run: best of 5 (run-to-run tunnel variance is ~±10%,
     # docs/TPU_NOTES.md #11; each trial is ~0.4 s so this is cheap).
     best_rtf = None
+    best_split = (0.0, 0.0)
+    rtfs = []
     for trial in range(5):
         t0 = time.perf_counter()
         res, _ = engine.generate(
@@ -173,9 +211,13 @@ def main() -> None:
             f"({frames / lm_s:.1f} frames/s), vocoder {voc_s:.3f}s, "
             f"audio {audio_seconds:.2f}s, RTF {rtf:.4f}"
         )
-        best_rtf = rtf if best_rtf is None else min(best_rtf, rtf)
+        rtfs.append(rtf)
+        if best_rtf is None or rtf < best_rtf:
+            best_rtf = rtf
+            best_split = (lm_s, voc_s)
 
     target = 0.1
+    rtfs.sort()
     print(
         json.dumps(
             {
@@ -184,6 +226,12 @@ def main() -> None:
                 "value": round(best_rtf, 5),
                 "unit": "ratio_lower_is_better",
                 "vs_baseline": round(target / best_rtf, 3),
+                # attribution fields (VERDICT r2): median across trials and
+                # the best trial's lm/vocoder wall-clock split, so a future
+                # regression is traceable to the phase that moved
+                "median": round(rtfs[len(rtfs) // 2], 5),
+                "lm_s": round(best_split[0], 4),
+                "voc_s": round(best_split[1], 4),
             }
         )
     )
@@ -503,6 +551,7 @@ def bench_ttfa_loaded(rows: int = 16, trials: int = 5) -> None:
     serialize on a mutex; a new request's TTFA under load is the sum of
     everything queued ahead of it)."""
     s = _setup_fish15()
+    from fish_speech_tpu.config import WhichLM
     from fish_speech_tpu.generate.continuous import _PartialFrames
 
     horizon = 16
@@ -510,6 +559,15 @@ def bench_ttfa_loaded(rows: int = 16, trials: int = 5) -> None:
         s, rows, codec_buckets=(horizon,), int8=False, horizon=horizon
     )
     make_prompt = s.make_prompt
+
+    def shift_output_tokens(codes: np.ndarray) -> np.ndarray:
+        """Byte-for-byte the serving transform
+        (pipeline.TTSPipeline._shift_output_tokens): identity for 1.5
+        (explicit semantic ids), -1 clamp for <=1.4 — so the benchmarked
+        vocode consumes exactly what the server's streaming path feeds."""
+        if WhichLM.FISH_1_5.uses_explicit_semantic_ids:
+            return codes
+        return np.maximum(codes.astype(np.int64) - 1, 0).astype(np.int32)
 
     def drain(req):
         for _ in req:
@@ -535,7 +593,7 @@ def bench_ttfa_loaded(rows: int = 16, trials: int = 5) -> None:
         ttfa = None
         for ev in req.iter_events():
             if isinstance(ev, _PartialFrames):
-                pcm = stream.feed(ev.frames[1:])
+                pcm = stream.feed(shift_output_tokens(ev.frames[1:]))
                 if pcm.shape[-1]:
                     ttfa = time.perf_counter() - t0
                     break

@@ -1,0 +1,276 @@
+#!/usr/bin/env python
+"""Real-checkpoint parity runbook: one command between "network appears"
+and "quality parity proven".
+
+This image has zero egress, so the pinned Fish checkpoints
+(reference: server/lib/utils/load.rs:50-60, mirrored in io/hub.py) cannot
+be fetched here; cross-implementation golden tests against an in-repo
+torch mirror are the stand-in evidence (BASELINE.md). On the FIRST
+machine with network access, run:
+
+    python scripts/verify_real_checkpoint.py                # Fish 1.5
+    python scripts/verify_real_checkpoint.py --model 1.2    # .pth path
+    python scripts/verify_real_checkpoint.py --checkpoint DIR  # local dir
+
+First run per model: fetches the pinned repo, runs the full serving path
+(text -> clean/chunk -> prompt encode -> DualAR generate -> Firefly
+vocode -> PCM, plus the encode/voice-clone path on the produced audio),
+writes golden fixtures (codes.npy + audio.wav + meta.json) under
+scripts/fixtures/<model>/, and prints the BASELINE.md row to record.
+Subsequent runs: re-generate and EXIT NONZERO on drift (codes not
+token-exact, or PCM beyond tolerance) — a standing regression gate on
+real weights.
+
+--synthetic: offline dry-run of this exact flow (CI: the
+checkpoint-runbook-dryrun job) against a freshly built synthetic
+checkpoint, including a deliberate-corruption check that the drift gate
+actually trips. Uses a scaled codec config (real mode uses the exact
+per-version config, codec/config.rs parity in config.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import hashlib
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:  # runnable without pip-install
+    sys.path.insert(0, str(REPO_ROOT))
+FIXTURES = REPO_ROOT / "scripts" / "fixtures"
+
+TEXT = "The quick brown fox jumps over the lazy dog."
+SEED = 1234
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _sha(arr: np.ndarray) -> str:
+    return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()
+
+
+def run_pipeline(checkpoint: str, model_str: str, text: str, seed: int):
+    """The serving path, end to end; returns (codes, pcm, sample_rate,
+    encode_codes, timings)."""
+    import jax.numpy as jnp
+
+    from fish_speech_tpu.config import WhichModel
+    from fish_speech_tpu.ops.sampling import SamplingArgs
+    from fish_speech_tpu.pipeline import TTSPipeline
+
+    model = WhichModel(model_str)
+    t0 = time.perf_counter()
+    pipe = TTSPipeline.load(
+        checkpoint or "", model, lm_dtype=jnp.bfloat16,
+        codec_dtype=jnp.float32,
+    )
+    t_load = time.perf_counter() - t0
+
+    # temp=0: greedy decode is deterministic given weights + prompt, so
+    # the recorded codes are an exact cross-run/cross-machine invariant
+    sampling = SamplingArgs(temp=0.0, top_p=1.0, top_k=1, repetition_penalty=1.0)
+
+    t0 = time.perf_counter()
+    chunks = list(
+        pipe.synthesize_streaming(text, sampling=sampling, seed=seed)
+    )
+    t_gen = time.perf_counter() - t0
+    codes = np.concatenate([c.codes for c in chunks], axis=-1)
+    pcm = np.concatenate([c.pcm for c in chunks])
+    sr = pipe.codec.cfg.spec_transform.sample_rate
+
+    # voice-clone path on our own output (encoder parity: the codes we
+    # get back should be dominated by the codes we vocoded)
+    t0 = time.perf_counter()
+    enc = pipe.codec.encode(pcm)
+    t_enc = time.perf_counter() - t0
+    enc = np.asarray(enc)
+    if enc.ndim == 3:
+        enc = enc[0]
+    return codes, pcm, sr, enc, {
+        "load_s": round(t_load, 2),
+        "generate_s": round(t_gen, 2),
+        "encode_s": round(t_enc, 2),
+        "audio_s": round(len(pcm) / sr, 2),
+    }
+
+
+def verify_or_record(fix_dir: Path, model_str: str, codes, pcm, sr, enc,
+                     timings, pcm_tol: float) -> int:
+    from fish_speech_tpu.audio.wav import read_wav, write_pcm_as_wav
+
+    meta_path = fix_dir / "meta.json"
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+        ref_codes = np.load(fix_dir / "codes.npy")
+        ref_pcm, ref_sr = read_wav(str(fix_dir / "audio.wav"))
+        ok = True
+        if ref_sr != sr:
+            log(f"DRIFT: sample rate {sr} != recorded {ref_sr}")
+            ok = False
+        if ref_codes.shape != codes.shape or not np.array_equal(ref_codes, codes):
+            n = (
+                int((ref_codes != codes).sum())
+                if ref_codes.shape == codes.shape else -1
+            )
+            log(
+                f"DRIFT: generated codes differ from recorded fixture "
+                f"(shape {codes.shape} vs {ref_codes.shape}, "
+                f"{n} mismatched positions)"
+            )
+            ok = False
+        # fixture wav is int16-quantized; compare at that resolution
+        q = np.clip(np.round(pcm * 32767.0), -32768, 32767) / 32767.0
+        m = min(len(q), len(ref_pcm))
+        max_err = (
+            float(np.abs(q[:m] - ref_pcm[:m]).max()) if m else float("inf")
+        )
+        if len(q) != len(ref_pcm) or max_err > pcm_tol:
+            log(
+                f"DRIFT: PCM differs (len {len(q)} vs {len(ref_pcm)}, "
+                f"max err {max_err:.2e} > {pcm_tol:.0e})"
+            )
+            ok = False
+        if ok:
+            log(
+                f"OK: {model_str} matches fixtures recorded "
+                f"{meta.get('recorded_at_utc', '?')} "
+                f"({codes.shape[-1]} frames, PCM max err {max_err:.2e})"
+            )
+            return 0
+        return 2
+
+    fix_dir.mkdir(parents=True, exist_ok=True)
+    np.save(fix_dir / "codes.npy", codes)
+    with open(fix_dir / "audio.wav", "wb") as f:
+        write_pcm_as_wav(f, pcm, sr)
+    match = (
+        float((enc[:, : codes.shape[-1]] == codes[:, : enc.shape[-1]]).mean())
+        if enc.size and codes.size else 0.0
+    )
+    meta = {
+        "model": model_str,
+        "text": TEXT,
+        "seed": SEED,
+        "sampling": "greedy (temp=0)",
+        "frames": int(codes.shape[-1]),
+        "codes_sha256": _sha(codes),
+        "sample_rate": int(sr),
+        "encode_roundtrip_code_match": round(match, 4),
+        "recorded_at_utc": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        ),
+        **timings,
+    }
+    meta_path.write_text(json.dumps(meta, indent=2) + "\n")
+    log(f"RECORDED fixtures in {fix_dir}")
+    log("Add this row to BASELINE.md (Real-checkpoint parity):")
+    log(
+        f"| {model_str} | {meta['frames']} frames / {timings['audio_s']} s "
+        f"| generate {timings['generate_s']} s | encode round-trip code "
+        f"match {match:.1%} | codes sha {meta['codes_sha256'][:12]} |"
+    )
+    return 0
+
+
+def build_synthetic_checkpoint(d: Path):
+    """Tiny Fish-1.5-shaped checkpoint on disk, reference weight names
+    (docs/WEIGHT_MAP.md), built through the repo's own test helpers."""
+    sys.path.insert(0, str(REPO_ROOT))
+    from safetensors.numpy import save_file
+
+    from tests.test_api import _write_tokenizer
+    from tests.test_checkpoint import make_lm_state_dict
+    from tests.test_dual_ar import CFG
+    from tests.test_firefly_loading import firefly_params_to_state_dict
+    from tests.test_server import CODEC_CFG
+
+    import jax
+
+    from fish_speech_tpu.models.codec.firefly import init_firefly_params
+
+    rng = np.random.default_rng(0)
+    sd = make_lm_state_dict(CFG, rng)
+    sd["output.weight"][4] *= 50.0  # strengthen im_end: generations stop
+    save_file(sd, str(d / "model.safetensors"))
+    cfg_json = {f.name: getattr(CFG, f.name) for f in dataclasses.fields(CFG)}
+    (d / "config.json").write_text(json.dumps(cfg_json))
+    _write_tokenizer(d / "tokenizer.json", CFG)
+
+    cparams = init_firefly_params(jax.random.PRNGKey(0), CODEC_CFG)
+    save_file(
+        firefly_params_to_state_dict(cparams, CODEC_CFG),
+        str(d / "firefly-gan-vq-fsq-8x1024-21hz-generator.safetensors"),
+    )
+    return CODEC_CFG
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default="1.5", choices=["1.2", "1.4", "1.5"])
+    ap.add_argument(
+        "--checkpoint", default="",
+        help="local checkpoint dir (default: fetch the pinned Hub repo)",
+    )
+    ap.add_argument(
+        "--fixtures", default=str(FIXTURES),
+        help="fixture root (default scripts/fixtures/)",
+    )
+    ap.add_argument(
+        "--pcm-tol", type=float, default=1e-3,
+        help="max abs PCM error vs fixture (int16 resolution is 3e-5; "
+        "default leaves headroom for cross-hardware bf16 accumulation)",
+    )
+    ap.add_argument(
+        "--synthetic", action="store_true",
+        help="offline dry-run with a synthetic checkpoint (CI)",
+    )
+    args = ap.parse_args()
+
+    if args.synthetic:
+        from fish_speech_tpu.config import FireflyConfig
+
+        tmp = Path(tempfile.mkdtemp(prefix="fish_synth_"))
+        codec_cfg = build_synthetic_checkpoint(tmp)
+        # scaled codec for the dry-run; real mode uses the exact
+        # per-version config
+        FireflyConfig.for_version = staticmethod(lambda v: codec_cfg)
+        fix_root = Path(tempfile.mkdtemp(prefix="fish_synth_fix_"))
+
+        codes, pcm, sr, enc, t = run_pipeline(str(tmp), "1.5", TEXT, SEED)
+        fix_dir = fix_root / "1.5"
+        rc = verify_or_record(fix_dir, "1.5", codes, pcm, sr, enc, t,
+                              args.pcm_tol)
+        assert rc == 0, "recording fixtures must succeed"
+        rc = verify_or_record(fix_dir, "1.5", codes, pcm, sr, enc, t,
+                              args.pcm_tol)
+        assert rc == 0, f"identical rerun flagged as drift (rc={rc})"
+        # the gate must actually trip: corrupt one code token
+        bad = codes.copy()
+        bad[0, 0] = (bad[0, 0] + 1) % 8
+        rc = verify_or_record(fix_dir, "1.5", bad, pcm, sr, enc, t,
+                              args.pcm_tol)
+        assert rc != 0, "corrupted codes were NOT flagged as drift"
+        log("SYNTHETIC DRY-RUN OK: record, verify, and drift-trip all work")
+        return 0
+
+    codes, pcm, sr, enc, t = run_pipeline(
+        args.checkpoint, args.model, TEXT, SEED
+    )
+    return verify_or_record(
+        Path(args.fixtures) / args.model, args.model, codes, pcm, sr, enc,
+        t, args.pcm_tol,
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
