@@ -1,11 +1,12 @@
-"""Any-container audio decode: WAV / MP3 / Ogg-Vorbis / Ogg-Opus -> mono f32.
+"""Any-container audio decode: WAV / MP3 / Ogg-Vorbis / Ogg-Opus / FLAC -> mono f32.
 
 Counterpart of the reference's symphonia-based decoder
 (reference: fish_speech_core/lib/audio/pcm_decode.rs:26-89,
 audio/mod.rs:13-29): accepts whatever container the client uploads and
 returns channel-averaged mono float32 plus the sample rate. WAV parses in
 Python; compressed containers decode in the native C++ runtime
-(native/fishaudio.cpp) through libmpg123 / libvorbisfile / libopus.
+(native/fishaudio.cpp) through libmpg123 / libvorbisfile / libopus, plus
+a hand-written FLAC decoder (no libFLAC in the image).
 """
 
 from __future__ import annotations
@@ -49,6 +50,7 @@ def decode_audio_bytes(data: bytes) -> Tuple[np.ndarray, int]:
 
     Raises ValueError for unsupported/corrupt input.
     """
+    data = bytes(data)  # multipart readers may hand back a bytearray
     if data[:4] == b"RIFF":
         return read_wav(data)
 

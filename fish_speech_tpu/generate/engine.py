@@ -107,6 +107,7 @@ class LMEngine:
         prompt_buckets=DEFAULT_BUCKETS,
         dtype=jnp.bfloat16,
         attention_impl: str = "auto",
+        mesh=None,
         quantize_int8: bool = False,
         _params_preprocessed: bool = False,
     ) -> None:
@@ -134,12 +135,18 @@ class LMEngine:
                 params = quantize_lm_params(params)
         self.params = params
         self.cfg = cfg
-        # "auto" -> fused Pallas decode attention on single-device TPU,
-        # XLA lowering elsewhere (CPU tests, sharded multi-chip)
+        # "auto" -> fused Pallas decode attention on TPU (single-device
+        # directly; multi-device via shard_map when a mesh is given), XLA
+        # lowering elsewhere. On non-TPU backends "pallas" runs the kernel
+        # in interpret mode (CPU-mesh parity tests).
+        self.mesh = mesh
         self.use_pallas = (
-            use_pallas_attention_default()
+            use_pallas_attention_default(mesh)
             if attention_impl == "auto"
             else attention_impl == "pallas"
+        )
+        self.pallas_interpret = (
+            self.use_pallas and jax.default_backend() != "tpu"
         )
         self.token_cfg = token_cfg
         self.lm = lm
@@ -252,6 +259,8 @@ class LMEngine:
             state.cache,
             state.pos,
             use_pallas=self.use_pallas,
+            mesh=self.mesh,
+            pallas_interpret=self.pallas_interpret,
         )
         res: FrameResult = generate_frame(
             params,

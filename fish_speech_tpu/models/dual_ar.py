@@ -373,15 +373,21 @@ def slow_prefill(
     return logits, hidden, cache
 
 
-def use_pallas_attention_default() -> bool:
-    """Fused Pallas decode attention: on for single-device TPU backends,
-    off elsewhere (CPU tests run the kernel in interpret mode explicitly;
-    the multi-chip sharded path keeps the XLA lowering, which pjit can
-    partition automatically)."""
+def use_pallas_attention_default(mesh=None) -> bool:
+    """Fused Pallas decode attention: on for TPU backends — single-device
+    directly, multi-device via shard_map over the provided (dp, tp) mesh
+    (ops/attention_pallas.py::fused_decode_attention_sharded) when the
+    head counts divide tp. Off on CPU by default (tests opt in with
+    attention_impl="pallas", which runs the kernel in interpret mode on
+    non-TPU backends)."""
     try:
-        return jax.default_backend() == "tpu" and jax.device_count() == 1
+        if jax.default_backend() != "tpu":
+            return False
+        if jax.device_count() == 1:
+            return True
     except RuntimeError:  # pragma: no cover — backend not initialized
         return False
+    return mesh is not None
 
 
 def slow_decode_step(
@@ -392,11 +398,15 @@ def slow_decode_step(
     cache: KVCache,
     pos: jnp.ndarray,
     use_pallas: bool = False,
+    mesh=None,
+    pallas_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
     """One slow-stack decode step for all cache rows.
 
     tokens: (B, C+1) — the previous frame per row.
     pos: (B,) int32 — each row's write position (== its current length).
+    mesh: with use_pallas on a multi-device mesh, shard_map the kernel
+    over (dp, tp) so each device runs it on its local rows/heads.
     Returns (logits (B, V) f32, hidden (B, D) pre-norm, updated cache).
 
     The layer loop is UNROLLED (not lax.scan): scanning restacks the
@@ -431,17 +441,32 @@ def slow_decode_step(
         if use_pallas:
             from fish_speech_tpu.ops.attention_pallas import (
                 fused_decode_attention,
+                fused_decode_attention_sharded,
             )
 
-            attn, ck, cv = fused_decode_attention(
-                q[:, :, 0, :],
-                k[:, :, 0, :].astype(ck.dtype),
-                v[:, :, 0, :].astype(cv.dtype),
-                pos,
-                ck,
-                cv,
-                jnp.int32(l),
-            )
+            if mesh is not None:
+                attn, ck, cv = fused_decode_attention_sharded(
+                    q[:, :, 0, :],
+                    k[:, :, 0, :].astype(ck.dtype),
+                    v[:, :, 0, :].astype(cv.dtype),
+                    pos,
+                    ck,
+                    cv,
+                    jnp.int32(l),
+                    mesh,
+                    interpret=pallas_interpret,
+                )
+            else:
+                attn, ck, cv = fused_decode_attention(
+                    q[:, :, 0, :],
+                    k[:, :, 0, :].astype(ck.dtype),
+                    v[:, :, 0, :].astype(cv.dtype),
+                    pos,
+                    ck,
+                    cv,
+                    jnp.int32(l),
+                    interpret=pallas_interpret,
+                )
             attn = attn[:, :, None, :]
         else:
             ck = ck.at[l, rows, :, pos, :].set(k.squeeze(2).astype(ck.dtype))

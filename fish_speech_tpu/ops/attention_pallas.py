@@ -143,3 +143,49 @@ def fused_decode_attention(
         cv,
     )
     return attn, ck_out, cv_out
+
+
+def fused_decode_attention_sharded(
+    q: jnp.ndarray,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    pos: jnp.ndarray,
+    ck: jnp.ndarray,
+    cv: jnp.ndarray,
+    layer,
+    mesh,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Multi-chip variant: shard_map the per-(layer, row) kernel over the
+    (dp, tp) mesh (parallel/mesh.py axes). dp splits cache/batch rows —
+    each device runs the kernel on its local rows; tp splits Q and KV
+    heads, which preserves the kernel's q-group-per-KV-head structure as
+    long as tp divides the KV head count (tp in {1, 2} for the stock
+    Fish models, mesh.py design note). The kernel needs NO cross-device
+    communication — shard_map here exists purely so the Mosaic kernel
+    (a per-device program GSPMD cannot partition) runs on every shard,
+    instead of silently falling back to the XLA lowering whose
+    while-carry aliasing failure costs ~11% of the decode step (#7)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+    b, h, _ = q.shape
+    kv = k_new.shape[1]
+    assert b % dp == 0, f"batch {b} not divisible by dp={dp}"
+    assert h % tp == 0 and kv % tp == 0, (
+        f"heads ({h} q, {kv} kv) not divisible by tp={tp}; "
+        "use the XLA attention for this mesh"
+    )
+
+    qs = P("dp", "tp", None)
+    cs = P(None, "dp", "tp", None, None)
+    fn = shard_map(
+        functools.partial(fused_decode_attention, interpret=interpret),
+        mesh=mesh,
+        in_specs=(qs, qs, qs, P("dp"), cs, cs, P()),
+        out_specs=(qs, cs, cs),
+        check_vma=False,
+    )
+    return fn(q, k_new, v_new, pos, ck, cv, jnp.asarray(layer, jnp.int32))

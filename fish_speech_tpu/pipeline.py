@@ -89,11 +89,17 @@ class TTSPipeline:
         max_new_tokens: int = DEFAULT_MAX_NEW_TOKENS,
         cache_len: Optional[int] = None,
         quantize_int8: bool = False,
+        mesh=None,
     ) -> "TTSPipeline":
         """Load config.json + tokenizer.json + weights from a checkpoint
         directory, resolving a Hub repo id (or the version's pinned repo
         when the path doesn't exist locally) via io/hub.py
-        (reference: server/lib/utils/load.rs:62-188)."""
+        (reference: server/lib/utils/load.rs:62-188).
+
+        mesh: optional (dp, tp) jax.sharding.Mesh (parallel/mesh.py) —
+        LM params are sharded over it and the engine decodes with the
+        Pallas kernel shard_mapped per device. The codec stays replicated
+        (it is a fraction of the LM's FLOPs and runs per-request)."""
         from tokenizers import Tokenizer
 
         checkpoint_dir = Path(checkpoint_dir)
@@ -115,10 +121,14 @@ class TTSPipeline:
 
         t0 = time.perf_counter()
         params = load_lm_params(checkpoint_dir, cfg, dtype=lm_dtype)
+        if mesh is not None:
+            from fish_speech_tpu.parallel.mesh import shard_lm_params
+
+            params = shard_lm_params(params, mesh, cfg)
         engine = LMEngine(
             params, cfg, token_cfg, lm,
             cache_len=cache_len, dtype=lm_dtype,
-            quantize_int8=quantize_int8,
+            quantize_int8=quantize_int8, mesh=mesh,
         )
         logger.info("LM loaded in %.1fs", time.perf_counter() - t0)
 
@@ -455,11 +465,18 @@ class TTSPipeline:
             rep_pen_window=BATCHED_REP_PEN_WINDOW,
             prompt_buckets=e.prompt_buckets,
             dtype=e.dtype,
+            mesh=e.mesh,
             quantize_int8=e.quantize_int8,
             _params_preprocessed=True,
         )
+        shard_state = None
+        if e.mesh is not None:
+            from fish_speech_tpu.parallel.mesh import shard_gen_state
+
+            shard_state = lambda s: shard_gen_state(s, e.mesh, e.cfg)  # noqa: E731
         return ContinuousBatcher(
-            engine, self.default_sampling, horizon=horizon
+            engine, self.default_sampling, horizon=horizon,
+            shard_state=shard_state,
         )
 
     def synthesize_streaming_continuous(
@@ -580,6 +597,7 @@ class TTSPipeline:
                 rep_pen_window=BATCHED_REP_PEN_WINDOW,
                 prompt_buckets=e.prompt_buckets,
                 dtype=e.dtype,
+                mesh=e.mesh,
                 quantize_int8=e.quantize_int8,
                 _params_preprocessed=True,
             )

@@ -57,6 +57,22 @@ def main() -> None:
         "throughput; bf16 is the reference-parity default)",
     )
     parser.add_argument(
+        "--shard",
+        type=int,
+        default=0,
+        metavar="N_DEVICES",
+        help="shard the LM over a (dp, tp) mesh of this many devices "
+        "(0 = single device, the reference's only mode); combine with "
+        "--tp to set the tensor-parallel width",
+    )
+    parser.add_argument(
+        "--tp",
+        type=int,
+        default=1,
+        help="tensor-parallel width within --shard devices (must divide "
+        "the GQA KV-head count; 2 for the stock Fish models)",
+    )
+    parser.add_argument(
         "--warmup",
         action="store_true",
         help="pre-compile prefill buckets and the decode loop at startup",
@@ -73,6 +89,14 @@ def main() -> None:
 
     logging.basicConfig(level=logging.INFO)
     model = WhichModel(args.fish_version)
+    mesh = None
+    if args.shard:
+        from fish_speech_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.shard, tp=args.tp)
+        logging.info(
+            "sharding over %s", dict(zip(mesh.axis_names, mesh.devices.shape))
+        )
     pipeline = TTSPipeline.load(
         args.checkpoint,
         model,
@@ -80,6 +104,7 @@ def main() -> None:
         codec_dtype=jnp.float32,  # server loads codec f32 (load.rs:161-164)
         max_new_tokens=args.max_new_tokens,
         quantize_int8=args.quantize_int8,
+        mesh=mesh,
     )
     rep_pen = (
         args.rep_pen

@@ -517,10 +517,326 @@ int fa_decode_ogg_opus(const unsigned char *data, size_t len, float **out,
   return 0;
 }
 
-// Sniff + decode: MP3 (ID3 tag or MPEG sync), Ogg (OpusHead vs Vorbis).
-// WAV is handled by the Python layer. Returns 0 on success.
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FLAC decoder (hand-written; the image ships no libFLAC).
+//
+// Counterpart of symphonia's default-feature FLAC support in the
+// reference (fish_speech_core/lib/audio/pcm_decode.rs:26-89,
+// Cargo.toml:39) — FLAC is the common container for clean
+// reference-voice uploads to /v1/audio/encoding. Implements the full
+// native-FLAC subset real encoders emit: STREAMINFO + skipped metadata,
+// frame headers (all blocksize/rate/size codes, UTF-8 coded numbers),
+// CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32) subframes, 4- and 5-bit
+// Rice partitions with escapes, wasted bits, and left/right/mid-side
+// stereo decorrelation. CRCs are parsed past, not verified (same stance
+// as the Ogg reader above).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BitReader {
+  const uint8_t *d;
+  size_t len;     // bytes
+  size_t pos;     // bit position
+  bool error = false;
+
+  size_t bits_left() const { return len * 8 - pos; }
+
+  uint64_t get(unsigned n) {  // MSB-first, n <= 57
+    if (bits_left() < n) {
+      error = true;
+      pos = len * 8;
+      return 0;
+    }
+    uint64_t v = 0;
+    unsigned got = 0;
+    while (got < n) {
+      size_t byte = pos >> 3;
+      unsigned avail = 8 - (pos & 7);
+      unsigned take = n - got < avail ? n - got : avail;
+      uint8_t chunk = (d[byte] >> (avail - take)) & ((1u << take) - 1);
+      v = (v << take) | chunk;
+      pos += take;
+      got += take;
+    }
+    return v;
+  }
+
+  int64_t get_signed(unsigned n) {  // two's complement
+    uint64_t v = get(n);
+    if (n && (v >> (n - 1))) v -= (uint64_t)1 << n;
+    return (int64_t)v;
+  }
+
+  uint32_t unary() {  // count 0 bits up to the terminating 1
+    uint32_t q = 0;
+    while (!error) {
+      if (bits_left() == 0) {
+        error = true;
+        break;
+      }
+      if (get(1)) break;
+      q++;
+    }
+    return q;
+  }
+
+  void align() { pos = (pos + 7) & ~(size_t)7; }
+};
+
+// residual for one subframe: fills res[order..blocksize)
+bool flac_residual(BitReader &br, uint32_t blocksize, uint32_t order,
+                   std::vector<int64_t> &res) {
+  uint32_t method = (uint32_t)br.get(2);
+  if (method > 1) return false;  // reserved
+  unsigned pbits = method == 0 ? 4 : 5;
+  uint32_t escape = method == 0 ? 0xF : 0x1F;
+  uint32_t porder = (uint32_t)br.get(4);
+  uint32_t parts = 1u << porder;
+  if (blocksize % parts != 0) return false;
+  uint32_t psize = blocksize >> porder;
+  if (psize <= order && parts == 1) return false;
+  uint32_t idx = order;
+  for (uint32_t p = 0; p < parts; p++) {
+    uint32_t count = psize - (p == 0 ? order : 0);
+    uint32_t param = (uint32_t)br.get(pbits);
+    if (param == escape) {
+      uint32_t raw = (uint32_t)br.get(5);
+      for (uint32_t i = 0; i < count; i++)
+        res[idx++] = raw ? br.get_signed(raw) : 0;
+    } else {
+      for (uint32_t i = 0; i < count; i++) {
+        uint64_t q = br.unary();
+        uint64_t r = param ? br.get(param) : 0;
+        uint64_t u = (q << param) | r;
+        res[idx++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);  // zigzag
+      }
+    }
+    if (br.error) return false;
+  }
+  return idx == blocksize;
+}
+
+bool flac_subframe(BitReader &br, uint32_t blocksize, unsigned bps,
+                   std::vector<int64_t> &out) {
+  if (br.get(1)) return false;  // padding bit must be 0
+  uint32_t type = (uint32_t)br.get(6);
+  unsigned wasted = 0;
+  if (br.get(1)) wasted = br.unary() + 1;
+  if (br.error || wasted >= bps) return false;
+  unsigned ebps = bps - wasted;
+  out.assign(blocksize, 0);
+
+  if (type == 0) {  // CONSTANT
+    int64_t v = br.get_signed(ebps);
+    for (uint32_t i = 0; i < blocksize; i++) out[i] = v;
+  } else if (type == 1) {  // VERBATIM
+    for (uint32_t i = 0; i < blocksize; i++) out[i] = br.get_signed(ebps);
+  } else if ((type & 0x38) == 0x08 && (type & 7) <= 4) {  // FIXED
+    uint32_t order = type & 7;
+    if (order > blocksize) return false;
+    for (uint32_t i = 0; i < order; i++) out[i] = br.get_signed(ebps);
+    if (!flac_residual(br, blocksize, order, out)) return false;
+    // fixed predictors, orders 0-4 (spec 9.2.1)
+    for (uint32_t i = order; i < blocksize; i++) {
+      int64_t p = 0;
+      switch (order) {
+        case 0: p = 0; break;
+        case 1: p = out[i - 1]; break;
+        case 2: p = 2 * out[i - 1] - out[i - 2]; break;
+        case 3: p = 3 * out[i - 1] - 3 * out[i - 2] + out[i - 3]; break;
+        case 4:
+          p = 4 * out[i - 1] - 6 * out[i - 2] + 4 * out[i - 3] - out[i - 4];
+          break;
+      }
+      out[i] += p;  // residual already in out[i]
+    }
+  } else if (type & 0x20) {  // LPC
+    uint32_t order = (type & 0x1F) + 1;
+    if (order > blocksize) return false;
+    for (uint32_t i = 0; i < order; i++) out[i] = br.get_signed(ebps);
+    uint32_t prec = (uint32_t)br.get(4);
+    if (prec == 0xF) return false;  // invalid
+    prec += 1;
+    int64_t shift = br.get_signed(5);
+    if (shift < 0) return false;
+    std::vector<int64_t> coef(order);
+    for (uint32_t i = 0; i < order; i++) coef[i] = br.get_signed(prec);
+    if (!flac_residual(br, blocksize, order, out)) return false;
+    for (uint32_t i = order; i < blocksize; i++) {
+      int64_t acc = 0;
+      for (uint32_t j = 0; j < order; j++) acc += coef[j] * out[i - 1 - j];
+      out[i] += acc >> shift;
+    }
+  } else {
+    return false;  // reserved type
+  }
+  if (wasted)
+    for (uint32_t i = 0; i < blocksize; i++) out[i] <<= wasted;
+  return !br.error;
+}
+
+}  // namespace
+
+extern "C" {
+
+// FLAC -> mono f32. Returns 0 on success.
+int fa_decode_flac(const unsigned char *data, size_t len, float **out,
+                   long long *out_frames, int *out_rate) {
+  *out = nullptr;
+  *out_frames = 0;
+  *out_rate = 0;
+  if (len < 4 + 4 + 34 || memcmp(data, "fLaC", 4) != 0) return -1;
+  size_t pos = 4;
+
+  // metadata blocks; STREAMINFO is mandatory and first
+  uint32_t si_rate = 0, si_channels = 0, si_bps = 0;
+  bool have_si = false, last = false;
+  while (!last && pos + 4 <= len) {
+    uint8_t hdr = data[pos];
+    last = hdr & 0x80;
+    uint8_t type = hdr & 0x7F;
+    uint32_t blen = (data[pos + 1] << 16) | (data[pos + 2] << 8) |
+                    data[pos + 3];
+    pos += 4;
+    if (pos + blen > len) return -2;
+    if (type == 0 && blen >= 34) {  // STREAMINFO
+      const uint8_t *s = data + pos;
+      si_rate = ((uint32_t)s[10] << 12) | ((uint32_t)s[11] << 4) |
+                (s[12] >> 4);
+      si_channels = ((s[12] >> 1) & 7) + 1;
+      si_bps = (((s[12] & 1) << 4) | (s[13] >> 4)) + 1;
+      have_si = true;
+    }
+    pos += blen;
+  }
+  if (!have_si || si_rate == 0 || si_channels == 0) return -3;
+
+  std::vector<std::vector<int64_t>> ch(si_channels);
+  std::vector<float> mono;
+
+  static const uint32_t kRates[] = {0,     88200, 176400, 192000,
+                                    8000,  16000, 22050,  24000,
+                                    32000, 44100, 48000,  96000};
+
+  while (pos + 2 <= len) {
+    // frame sync: 14 bits 0x3FFE
+    if (!(data[pos] == 0xFF && (data[pos + 1] & 0xFC) == 0xF8)) {
+      pos++;
+      continue;
+    }
+    BitReader br{data + pos, len - pos, 0};
+    br.get(14);           // sync
+    br.get(1);            // reserved
+    br.get(1);            // blocking strategy
+    uint32_t bs_code = (uint32_t)br.get(4);
+    uint32_t sr_code = (uint32_t)br.get(4);
+    uint32_t ch_asgn = (uint32_t)br.get(4);
+    uint32_t ss_code = (uint32_t)br.get(3);
+    br.get(1);  // reserved
+    // UTF-8 coded frame/sample number: 1-7 bytes
+    uint32_t first = (uint32_t)br.get(8);
+    unsigned extra = 0;
+    for (uint8_t m = 0x80; first & m; m >>= 1) extra++;
+    if (extra == 1 || extra > 6) break;  // invalid lead byte
+    if (extra) extra -= 1;
+    for (unsigned i = 0; i < extra; i++) br.get(8);
+
+    uint32_t blocksize;
+    if (bs_code == 0) break;  // reserved
+    else if (bs_code == 1) blocksize = 192;
+    else if (bs_code <= 5) blocksize = 576u << (bs_code - 2);
+    else if (bs_code == 6) blocksize = (uint32_t)br.get(8) + 1;
+    else if (bs_code == 7) blocksize = (uint32_t)br.get(16) + 1;
+    else blocksize = 256u << (bs_code - 8);
+
+    uint32_t rate = si_rate;
+    if (sr_code <= 11) {
+      if (sr_code) rate = kRates[sr_code];
+    } else if (sr_code == 12) rate = (uint32_t)br.get(8) * 1000;
+    else if (sr_code == 13) rate = (uint32_t)br.get(16);
+    else if (sr_code == 14) rate = (uint32_t)br.get(16) * 10;
+    else break;  // invalid
+    (void)rate;  // STREAMINFO's rate is authoritative for the stream
+
+    unsigned bps = si_bps;
+    static const unsigned kSizes[] = {0, 8, 12, 0, 16, 20, 24, 32};
+    if (ss_code != 0 && kSizes[ss_code]) bps = kSizes[ss_code];
+    else if (ss_code == 3) break;  // reserved
+
+    br.get(8);  // header CRC-8 (not verified)
+    if (br.error) break;
+
+    uint32_t nch = si_channels;
+    bool lr_side[2] = {false, false};  // [left/side, right/side]
+    bool mid_side = false;
+    if (ch_asgn <= 7) {
+      nch = ch_asgn + 1;
+      if (nch != si_channels) break;
+    } else if (ch_asgn == 8) { nch = 2; lr_side[0] = true; }
+    else if (ch_asgn == 9) { nch = 2; lr_side[1] = true; }
+    else if (ch_asgn == 10) { nch = 2; mid_side = true; }
+    else break;  // reserved
+    if (nch != si_channels) break;
+
+    bool ok = true;
+    for (uint32_t c = 0; c < nch && ok; c++) {
+      unsigned cbps = bps;
+      // the side channel carries one extra bit
+      if ((lr_side[0] && c == 1) || (lr_side[1] && c == 0) ||
+          (mid_side && c == 1))
+        cbps += 1;
+      ok = flac_subframe(br, blocksize, cbps, ch[c]);
+    }
+    if (!ok) break;
+    br.align();
+    br.get(16);  // frame CRC-16 (not verified)
+    if (br.error) break;
+
+    // undo stereo decorrelation (spec 4.2: side = left - right)
+    if (lr_side[0]) {  // left/side -> right = left - side
+      for (uint32_t i = 0; i < blocksize; i++)
+        ch[1][i] = ch[0][i] - ch[1][i];
+    } else if (lr_side[1]) {  // right/side -> left = right + side
+      for (uint32_t i = 0; i < blocksize; i++)
+        ch[0][i] = ch[1][i] + ch[0][i];
+    } else if (mid_side) {
+      for (uint32_t i = 0; i < blocksize; i++) {
+        int64_t side = ch[1][i];
+        int64_t m = (ch[0][i] << 1) | (side & 1);
+        ch[0][i] = (m + side) >> 1;
+        ch[1][i] = (m - side) >> 1;
+      }
+    }
+
+    double scale = 1.0 / ((int64_t)1 << (bps - 1));
+    size_t base = mono.size();
+    mono.resize(base + blocksize);
+    for (uint32_t i = 0; i < blocksize; i++) {
+      double acc = 0.0;
+      for (uint32_t c = 0; c < nch; c++) acc += (double)ch[c][i] * scale;
+      mono[base + i] = (float)(acc / nch);
+    }
+    pos += (br.pos + 7) >> 3;
+  }
+
+  if (mono.empty()) return -4;
+  *out = (float *)malloc(mono.size() * sizeof(float));
+  if (!*out) return -5;
+  memcpy(*out, mono.data(), mono.size() * sizeof(float));
+  *out_frames = (long long)mono.size();
+  *out_rate = (int)si_rate;
+  return 0;
+}
+
+// Sniff + decode: MP3 (ID3 tag or MPEG sync), Ogg (OpusHead vs Vorbis),
+// FLAC. WAV is handled by the Python layer. Returns 0 on success.
 int fa_decode_auto(const unsigned char *data, size_t len, float **out,
                    long long *out_frames, int *out_rate) {
+  if (len >= 4 && memcmp(data, "fLaC", 4) == 0)
+    return fa_decode_flac(data, len, out, out_frames, out_rate);
   if (len >= 4 && memcmp(data, "OggS", 4) == 0) {
     // first packet starts at offset 28 (BOS page, single lacing value)
     if (len > 36 && memcmp(data + 28, "OpusHead", 8) == 0)

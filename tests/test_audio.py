@@ -161,6 +161,79 @@ class TestAnyContainerDecode:
         rb = float(np.sqrt(np.mean(b.astype(np.float64) ** 2)))
         assert abs(ra - rb) / rb < 0.15
 
+    def _flac_pcm(self, nch=1, t=3000, seed=0):
+        rng = np.random.default_rng(seed)
+        tt = np.arange(t)
+        base = 0.5 * np.sin(2 * np.pi * 440 * tt / 44100)
+        x = np.stack(
+            [base + 0.01 * rng.normal(size=t) for _ in range(nch)]
+        )
+        return np.round(x * 32767).astype(np.int32)
+
+    def test_flac_verbatim_roundtrip(self):
+        """Hand-built FLAC (spec-driven writer) decodes bit-exactly through
+        the native decoder (reference decodes FLAC via symphonia's default
+        features, pcm_decode.rs:26-89)."""
+        from fish_speech_tpu.audio.decode import decode_audio_bytes, native_available
+        from tests.flac_writer import write_flac
+
+        if not native_available():
+            pytest.skip("native decoder not built")
+        x = self._flac_pcm()
+        data = write_flac(x, 44100, subframe="verbatim", block_size=1024)
+        pcm, sr = decode_audio_bytes(data)
+        assert sr == 44100
+        np.testing.assert_allclose(pcm, x[0] / 32768.0, atol=1e-6)
+
+    def test_flac_stereo_averages_to_mono(self):
+        from fish_speech_tpu.audio.decode import decode_audio_bytes, native_available
+        from tests.flac_writer import write_flac
+
+        if not native_available():
+            pytest.skip("native decoder not built")
+        x = self._flac_pcm(nch=2, seed=1)
+        pcm, sr = decode_audio_bytes(write_flac(x, 24000))
+        assert sr == 24000
+        np.testing.assert_allclose(
+            pcm, x.mean(axis=0) / 32768.0, atol=1e-6
+        )
+
+    def test_flac_mid_side_matches_independent(self):
+        from fish_speech_tpu.audio.decode import decode_audio_bytes, native_available
+        from tests.flac_writer import write_flac
+
+        if not native_available():
+            pytest.skip("native decoder not built")
+        x = self._flac_pcm(nch=2, seed=2)
+        a, _ = decode_audio_bytes(write_flac(x, 44100))
+        b, _ = decode_audio_bytes(write_flac(x, 44100, mid_side=True))
+        np.testing.assert_allclose(a, b, atol=1e-7)
+
+    def test_flac_fixed_rice_matches_verbatim(self):
+        """FIXED order-2 + Rice residual subframes decode to the same PCM
+        as VERBATIM — exercises the predictor + Rice partition path."""
+        from fish_speech_tpu.audio.decode import decode_audio_bytes, native_available
+        from tests.flac_writer import write_flac
+
+        if not native_available():
+            pytest.skip("native decoder not built")
+        x = self._flac_pcm(seed=3)
+        a, _ = decode_audio_bytes(write_flac(x, 44100, subframe="verbatim"))
+        b, _ = decode_audio_bytes(write_flac(x, 44100, subframe="fixed"))
+        np.testing.assert_allclose(a, b, atol=1e-7)
+
+    def test_flac_constant_subframe(self):
+        from fish_speech_tpu.audio.decode import decode_audio_bytes, native_available
+        from tests.flac_writer import write_flac
+
+        if not native_available():
+            pytest.skip("native decoder not built")
+        x = np.full((1, 2048), 1234, np.int32)
+        pcm, _ = decode_audio_bytes(
+            write_flac(x, 44100, subframe="constant", block_size=512)
+        )
+        np.testing.assert_allclose(pcm, np.full(2048, 1234 / 32768.0), atol=1e-6)
+
     def test_ogg_opus_roundtrip(self):
         from fish_speech_tpu.audio.decode import decode_audio_bytes, native_available
         from fish_speech_tpu.audio.opus import OggOpusEncoder

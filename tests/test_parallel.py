@@ -66,6 +66,62 @@ def test_sharded_decode_matches_unsharded():
     np.testing.assert_array_equal(f2, g2)
 
 
+@pytest.mark.parametrize("tp", [1, 2])
+def test_sharded_decode_pallas_matches_xla(tp):
+    """The fused Pallas decode kernel under dp x tp sharding (shard_map,
+    interpret mode on CPU) must produce the same tokens as the unsharded
+    XLA attention — the multi-chip serving path no longer silently drops
+    the kernel (round-2 verdict: use_pallas required device_count()==1)."""
+    params = init_dual_ar_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    sampling = SamplingArgs(temp=0.0)
+
+    rng = np.random.default_rng(3)
+    prompt = np.concatenate(
+        [
+            rng.integers(18, 30, size=(4, 1, 6)),
+            np.zeros((4, CFG.num_codebooks, 6), np.int64),
+        ],
+        axis=1,
+    )
+
+    def run(mesh=None, impl="xla"):
+        def make_engine(p):
+            return LMEngine(
+                p, CFG, TOK, WhichLM.FISH_1_5,
+                batch_size=4, cache_len=32, max_frames=4,
+                dtype=jnp.float32, prompt_buckets=(8,),
+                attention_impl=impl, mesh=mesh,
+            )
+
+        if mesh is not None:
+            with mesh:
+                engine = make_engine(shard_lm_params(params, mesh, CFG))
+                assert engine.use_pallas == (impl == "pallas")
+                state = shard_gen_state(engine.init_state(seed=7), mesh, CFG)
+                state, frame, _ = engine.prefill(state, prompt, sampling)
+                frames = [np.asarray(frame)]
+                step = engine._get_step(sampling)
+                for _ in range(3):
+                    state, f = step(state)
+                    frames.append(np.asarray(f))
+                return frames
+        engine = make_engine(params)
+        state = engine.init_state(seed=7)
+        state, frame, _ = engine.prefill(state, prompt, sampling)
+        frames = [np.asarray(frame)]
+        step = engine._get_step(sampling)
+        for _ in range(3):
+            state, f = step(state)
+            frames.append(np.asarray(f))
+        return frames
+
+    ref = run()  # unsharded XLA
+    # batch 4: dp=4 in both cases (dp must divide the row count)
+    got = run(mesh=make_mesh(4 * tp, tp=tp), impl="pallas")
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_sharded_continuous_batcher_matches_serial():
     """The SERVING path sharded: a continuous batcher whose params/state
     are dp=4 x tp=2 sharded (BASELINE configs[4] scale-out shape) must

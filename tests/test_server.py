@@ -278,6 +278,37 @@ def test_encoding_route_registers_voice(state):
     assert "cloned" in voices["voices"]
 
 
+def test_encoding_route_accepts_flac(state):
+    """FLAC upload to /v1/audio/encoding (symphonia-default container
+    coverage, reference pcm_decode.rs:26-89) decodes through the native
+    FLAC decoder and returns codes."""
+    from fish_speech_tpu.audio.decode import native_available
+    from tests.flac_writer import write_flac
+
+    if not native_available():
+        pytest.skip("native decoder not built")
+    audio = (np.random.default_rng(0).normal(size=6400) * 0.1).astype(np.float32)
+    flac_bytes = write_flac(
+        np.round(audio * 32767).astype(np.int32), 44100, subframe="fixed"
+    )
+
+    async def fn(client):
+        import aiohttp
+
+        form = aiohttp.FormData()
+        form.add_field(
+            "file", flac_bytes, filename="ref.flac", content_type="audio/flac"
+        )
+        resp = await client.post("/v1/audio/encoding", data=form)
+        assert resp.status == 200, await resp.text()
+        return await resp.read()
+
+    body = _sync(_run(state, fn))
+    codes = np.load(io.BytesIO(body))
+    assert codes.shape[0] == NUM_CODEBOOKS
+    assert codes.shape[-1] > 0
+
+
 def test_opus_streaming_route(state):
     from fish_speech_tpu.audio.opus import OggOpusEncoder
 
