@@ -122,10 +122,9 @@ def main() -> None:
     ap.add_argument("--max-new-tokens", type=int, default=256)
     args = ap.parse_args()
 
-    import jax
+    from fish_speech_tpu.utils.cache import setup_compilation_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_fishtpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    setup_compilation_cache()
 
     if args.random_weights or args.checkpoint is None:
         log("loading random-weight Fish-1.5-architecture pipeline")

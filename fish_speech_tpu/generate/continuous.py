@@ -159,6 +159,7 @@ class ContinuousBatcher:
         sampling: SamplingArgs,
         *,
         horizon: int = 16,
+        admit_horizon: int = 4,
         shard_state=None,
     ) -> None:
         """engine must be built with batch_size == number of decode rows
@@ -173,6 +174,16 @@ class ContinuousBatcher:
         self.engine = engine
         self.sampling = sampling
         self.horizon = horizon
+        # Shorter decode chunk for the tick RIGHT AFTER an admission: a
+        # fresh request's first audio event otherwise waits a full
+        # `horizon`-frame chunk AND its first vocode feed decomposes into
+        # two device programs (e.g. 17 frames -> 16+1; through a ~30 ms
+        # round-trip tunnel each program costs real latency). A short
+        # first chunk cut 16-way cold-burst TTFA p50 from ~440-510 ms to
+        # ~395-405 ms measured (bench --ttfa-burst best burst);
+        # steady-state ticks keep the full horizon so aggregate
+        # throughput is unaffected.
+        self.admit_horizon = min(admit_horizon, horizon)
         self.state: GenState = engine.init_state()
         if shard_state is not None:
             self.state = shard_state(self.state)
@@ -264,7 +275,9 @@ class ContinuousBatcher:
                     prompts = [np.zeros((c + 1, cond), np.int32), chunk]
                 else:
                     prompts = [chunk]
-                for _ in self.submit(prompts, cond, 2):
+                # max_new spans the short admit tick AND one full-horizon
+                # tick, so BOTH decode-chunk programs compile here
+                for _ in self.submit(prompts, cond, self.admit_horizon + 2):
                     pass
         # burst-admission shapes: a cold wave admits new requests in
         # power-of-two groups through prefill_rows (distinct jit shape
@@ -431,8 +444,11 @@ class ContinuousBatcher:
             for slot in self.rows
             if slot is not None and slot.active
         ]
+        # fresh admissions get a short first chunk (low TTFA); steady
+        # ticks decode the full horizon (throughput)
+        horizon = self.admit_horizon if admits else self.horizon
         self.state, out, valid, steps = self.engine.decode_chunk(
-            self.state, self.sampling, self.horizon
+            self.state, self.sampling, horizon
         )
         # copy: state.done itself gets donated to the NEXT dispatch before
         # this flight is fetched

@@ -88,6 +88,11 @@ def main() -> None:
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
+    # persistent compile cache (+ repo seed): a restarted server skips
+    # the multi-minute cold compile (docs/TPU_NOTES.md #16)
+    from fish_speech_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
     model = WhichModel(args.fish_version)
     mesh = None
     if args.shard:

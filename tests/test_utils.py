@@ -50,3 +50,37 @@ class TestProfiling:
     def test_memory_stats_covers_all_devices(self):
         stats = memory_stats()
         assert set(stats) == {str(d) for d in jax.local_devices()}
+
+
+class TestCompilationCacheSetup:
+    def test_seeds_and_points_config(self, tmp_path, monkeypatch):
+        """setup_compilation_cache points jax at the dir and copies seed
+        entries in without overwriting newer runtime entries."""
+        import jax
+
+        from fish_speech_tpu.utils.cache import setup_compilation_cache
+
+        seed = tmp_path / "seed"
+        seed.mkdir()
+        (seed / "jit_x-abc-cache").write_bytes(b"seeded")
+        cache = tmp_path / "cache"
+        cache.mkdir()
+        (cache / "jit_y-def-cache").write_bytes(b"runtime")
+
+        out = setup_compilation_cache(str(cache), seed_dir=str(seed))
+        assert out == str(cache)
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+        assert (cache / "jit_x-abc-cache").read_bytes() == b"seeded"
+        assert (cache / "jit_y-def-cache").read_bytes() == b"runtime"
+
+        # existing entries are never clobbered by a re-seed
+        (cache / "jit_x-abc-cache").write_bytes(b"newer")
+        setup_compilation_cache(str(cache), seed_dir=str(seed))
+        assert (cache / "jit_x-abc-cache").read_bytes() == b"newer"
+
+    def test_env_var_override(self, tmp_path, monkeypatch):
+        from fish_speech_tpu.utils.cache import setup_compilation_cache
+
+        monkeypatch.setenv("FISH_TPU_CACHE_DIR", str(tmp_path / "envdir"))
+        out = setup_compilation_cache(seed_dir=str(tmp_path / "missing"))
+        assert out == str(tmp_path / "envdir")
