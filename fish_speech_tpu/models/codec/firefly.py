@@ -235,6 +235,19 @@ class FireflyCodec:
             firefly_decode_step,
         )
 
+        audio, state = self.decode_step_async(codes, state)
+        return np.asarray(audio, np.float32), state
+
+    def decode_step_async(self, codes: np.ndarray, state):
+        """decode_step without the device->host sync: returns the PCM as
+        a DEVICE array (B, t*ds*hop). Lets a session dispatch several
+        pieces back to back and fetch them in ONE round trip — through a
+        remote-device tunnel each synchronous fetch costs a full RTT
+        (stream_conv.StreamSessionBase.feed)."""
+        from fish_speech_tpu.models.codec.firefly_stream import (
+            firefly_decode_step,
+        )
+
         codes = np.asarray(codes)
         if codes.ndim == 2:
             codes = codes[None]
@@ -246,7 +259,7 @@ class FireflyCodec:
         audio, state = self._step_jit[key](
             self.params, jnp.asarray(codes, jnp.int32), state
         )
-        return np.asarray(audio, np.float32)[:, 0, :], state
+        return audio[:, 0, :], state
 
 
 class FireflyStreamSession(StreamSessionBase):

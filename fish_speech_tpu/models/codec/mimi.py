@@ -804,6 +804,13 @@ class MimiCodec:
         """One streaming step: codes (K, t) or (B, K, t) -> (pcm (B, t*spf),
         new_state). Use start_stream() for chunk-size bucketing and the
         frames_per_step bound; state comes from mimi_decode_stream_init."""
+        audio, state = self.decode_step_async(codes, state)
+        return np.asarray(audio), state
+
+    def decode_step_async(self, codes: np.ndarray, state):
+        """decode_step without the device->host sync: returns DEVICE PCM
+        (B, t*spf) so a session can dispatch several pieces and fetch
+        them in one round trip (StreamSessionBase.feed)."""
         codes = np.asarray(codes)
         if codes.ndim == 2:
             codes = codes[None]
@@ -832,7 +839,7 @@ class MimiCodec:
         audio, state = self._step_jit[key](
             self.params, jnp.asarray(codes, jnp.int32), state
         )
-        return np.asarray(audio)[:, 0, :], state
+        return audio[:, 0, :], state
 
 
 class MimiStreamSession(StreamSessionBase):

@@ -160,6 +160,13 @@ class StreamSessionBase:
             # largest power-of-two piece <= max_step that fits
             step = min(self.max_step, t - s)
             step = 1 << (step.bit_length() - 1)
+            # NOTE: per-piece synchronous fetch is DELIBERATE. An async
+            # dispatch-all-then-one-device_get variant was measured
+            # (round 3): single-stream feed(17) improved ~10 ms, but
+            # 16 concurrent sessions regressed ~70 ms p50 — the per-piece
+            # sync backpressures threads sharing one chip. Keep sync;
+            # decode_step_async exists for callers that manage their own
+            # batching.
             pcm, self.state = self.codec.decode_step(
                 codes[..., s : s + step], self.state
             )
