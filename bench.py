@@ -22,6 +22,19 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _shift_output_tokens_fish15(codes: np.ndarray) -> np.ndarray:
+    """Byte-for-byte the serving transform
+    (pipeline.TTSPipeline._shift_output_tokens) for the benchmarked
+    Fish-1.5 configuration: identity for explicit-semantic-id models,
+    -1 clamp for <=1.4 — so every benchmarked vocode consumes exactly
+    what the server's streaming path feeds."""
+    from fish_speech_tpu.config import WhichLM
+
+    if WhichLM.FISH_1_5.uses_explicit_semantic_ids:
+        return codes
+    return np.maximum(codes.astype(np.int64) - 1, 0).astype(np.int32)
+
+
 def _setup_fish15():
     """Shared benchmark setup for every bench mode: platform/env config,
     Fish-1.5-sized random weights on device, codec params, and a 40-token
@@ -255,12 +268,6 @@ def bench_ttfa_burst(rows: int = 16, trials: int = 3) -> None:
     )
     make_prompt = s.make_prompt
 
-    def shift_output_tokens(codes: np.ndarray) -> np.ndarray:
-        # byte-for-byte the serving transform (pipeline._shift_output_tokens)
-        if WhichLM.FISH_1_5.uses_explicit_semantic_ids:
-            return codes
-        return np.maximum(codes.astype(np.int64) - 1, 0).astype(np.int32)
-
     def drain(req):
         for _ in req:
             pass
@@ -279,7 +286,7 @@ def bench_ttfa_burst(rows: int = 16, trials: int = 3) -> None:
             )
             for ev in req.iter_events():
                 if isinstance(ev, _PartialFrames):
-                    pcm = stream.feed(shift_output_tokens(ev.frames[1:]))
+                    pcm = stream.feed(_shift_output_tokens_fish15(ev.frames[1:]))
                     if pcm.shape[-1]:
                         ttfas[i] = time.perf_counter() - t0
                         break
@@ -629,15 +636,6 @@ def bench_ttfa_loaded(rows: int = 16, trials: int = 5) -> None:
     )
     make_prompt = s.make_prompt
 
-    def shift_output_tokens(codes: np.ndarray) -> np.ndarray:
-        """Byte-for-byte the serving transform
-        (pipeline.TTSPipeline._shift_output_tokens): identity for 1.5
-        (explicit semantic ids), -1 clamp for <=1.4 — so the benchmarked
-        vocode consumes exactly what the server's streaming path feeds."""
-        if WhichLM.FISH_1_5.uses_explicit_semantic_ids:
-            return codes
-        return np.maximum(codes.astype(np.int64) - 1, 0).astype(np.int32)
-
     def drain(req):
         for _ in req:
             pass
@@ -662,7 +660,7 @@ def bench_ttfa_loaded(rows: int = 16, trials: int = 5) -> None:
         ttfa = None
         for ev in req.iter_events():
             if isinstance(ev, _PartialFrames):
-                pcm = stream.feed(shift_output_tokens(ev.frames[1:]))
+                pcm = stream.feed(_shift_output_tokens_fish15(ev.frames[1:]))
                 if pcm.shape[-1]:
                     ttfa = time.perf_counter() - t0
                     break

@@ -444,9 +444,13 @@ class ContinuousBatcher:
             for slot in self.rows
             if slot is not None and slot.active
         ]
-        # fresh admissions get a short first chunk (low TTFA); steady
-        # ticks decode the full horizon (throughput)
-        horizon = self.admit_horizon if admits else self.horizon
+        # FRESH admissions get a short first chunk (low TTFA for cold
+        # requests); next-chunk re-admissions of already-streaming
+        # requests keep the full horizon — their clients hold buffered
+        # audio, and shrinking every chunk-boundary tick to admit_horizon
+        # would cut aggregate throughput under sustained load
+        fresh = any(a.slot.chunk_idx == 0 for a in admits)
+        horizon = self.admit_horizon if fresh else self.horizon
         self.state, out, valid, steps = self.engine.decode_chunk(
             self.state, self.sampling, horizon
         )

@@ -140,11 +140,28 @@ class LMEngine:
         # lowering elsewhere. On non-TPU backends "pallas" runs the kernel
         # in interpret mode (CPU-mesh parity tests).
         self.mesh = mesh
-        self.use_pallas = (
-            use_pallas_attention_default(mesh)
-            if attention_impl == "auto"
-            else attention_impl == "pallas"
+        # The shard_mapped kernel needs dp | batch and tp | head counts
+        # (attention_pallas.fused_decode_attention_sharded). "auto" falls
+        # back to the XLA lowering (which GSPMD partitions fine) for
+        # engines the mesh doesn't divide — e.g. the batch-1 serial
+        # engine under dp>1; an explicit "pallas" request fails fast here
+        # rather than asserting mid-request.
+        shardable = mesh is None or (
+            batch_size % mesh.shape.get("dp", 1) == 0
+            and cfg.n_head % mesh.shape.get("tp", 1) == 0
+            and cfg.n_local_heads % mesh.shape.get("tp", 1) == 0
         )
+        if attention_impl == "auto":
+            self.use_pallas = use_pallas_attention_default(mesh) and shardable
+        else:
+            self.use_pallas = attention_impl == "pallas"
+            if self.use_pallas and not shardable:
+                raise ValueError(
+                    f"attention_impl='pallas' with mesh {dict(mesh.shape)} "
+                    f"cannot shard batch={batch_size}, heads="
+                    f"{cfg.n_head}/{cfg.n_local_heads}; use a dividing "
+                    "mesh or attention_impl='xla'"
+                )
         self.pallas_interpret = (
             self.use_pallas and jax.default_backend() != "tpu"
         )

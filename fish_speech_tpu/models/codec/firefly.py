@@ -231,10 +231,6 @@ class FireflyCodec:
         The multiple-of-stride restriction on stream_conv1d applies only
         to the encode-side downsample stack, which has no streaming
         entry point."""
-        from fish_speech_tpu.models.codec.firefly_stream import (
-            firefly_decode_step,
-        )
-
         audio, state = self.decode_step_async(codes, state)
         return np.asarray(audio, np.float32), state
 

@@ -102,13 +102,17 @@ class TTSPipeline:
         (it is a fraction of the LM's FLOPs and runs per-request)."""
         from tokenizers import Tokenizer
 
-        checkpoint_dir = Path(checkpoint_dir)
-        if not checkpoint_dir.is_dir():
+        # NB: Path("") is PosixPath(".") whose is_dir() is True — an empty
+        # checkpoint argument means "use the version's pinned Hub repo"
+        # (load.rs:50-60) and must go through resolution, not the CWD
+        if not str(checkpoint_dir) or not Path(checkpoint_dir).is_dir():
             from fish_speech_tpu.io.hub import resolve_checkpoint
 
             resolved = resolve_checkpoint(checkpoint_dir, model)
             checkpoint_dir = resolved.dir
             codec_file = codec_file or resolved.codec_file
+        else:
+            checkpoint_dir = Path(checkpoint_dir)
         lm = WhichLM.from_model(model)
         cfg_path = checkpoint_dir / "config.json"
         cfg = (

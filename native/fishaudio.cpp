@@ -597,7 +597,12 @@ bool flac_residual(BitReader &br, uint32_t blocksize, uint32_t order,
   uint32_t parts = 1u << porder;
   if (blocksize % parts != 0) return false;
   uint32_t psize = blocksize >> porder;
-  if (psize <= order && parts == 1) return false;
+  // The first partition carries psize - order samples, so psize < order
+  // is an invalid stream (and with psize == order it must not be the
+  // only partition). Without this check the unsigned subtraction below
+  // underflows to ~4e9 and writes past res[] — a crafted upload could
+  // corrupt the heap.
+  if (psize < order || (psize == order && parts == 1)) return false;
   uint32_t idx = order;
   for (uint32_t p = 0; p < parts; p++) {
     uint32_t count = psize - (p == 0 ? order : 0);

@@ -222,6 +222,55 @@ class TestAnyContainerDecode:
         b, _ = decode_audio_bytes(write_flac(x, 44100, subframe="fixed"))
         np.testing.assert_allclose(a, b, atol=1e-7)
 
+    def test_flac_malformed_partition_order_rejected(self):
+        """Crafted stream whose Rice partition size is smaller than the
+        predictor order (psize=2 < order=4): the unsigned first-partition
+        sample count would underflow and write ~4e9 entries past the
+        residual buffer (round-3 review finding, reproduced as a
+        segfault) — must come back as a decode error, not corruption."""
+        from fish_speech_tpu.audio.decode import decode_audio_bytes, native_available
+        from tests.flac_writer import BitWriter, _crc8, _crc16
+
+        if not native_available():
+            pytest.skip("native decoder not built")
+
+        out = bytearray(b"fLaC")
+        si = BitWriter()
+        si.put(16, 16); si.put(16, 16)      # min/max blocksize
+        si.put(0, 24); si.put(0, 24)        # frame sizes
+        si.put(44100, 20); si.put(0, 3); si.put(15, 5)  # mono, 16-bit
+        si.put(16, 36)
+        for _ in range(16):
+            si.put(0, 8)
+        out += bytes([0x80, 0, 0, 34]) + si.data()
+
+        w = BitWriter()
+        w.put(0b11111111111110, 14); w.put(0, 1); w.put(0, 1)
+        w.put(0b0111, 4)   # 16-bit blocksize follows
+        w.put(0b0000, 4)   # rate from STREAMINFO
+        w.put(0, 4)        # mono
+        w.put(4, 3)        # 16-bit
+        w.put(0, 1)
+        w.put(0, 8)        # frame number 0
+        w.put(15, 16)      # blocksize 16
+        w.align()
+        w.put(_crc8(w.data()), 8)
+        # FIXED order-4 subframe, 4 warmup samples, then residual with
+        # partition order 3 -> psize = 16/8 = 2 < order
+        w.put(0, 1); w.put(0b001000 | 4, 6); w.put(0, 1)
+        for _ in range(4):
+            w.put(0, 16)
+        w.put(0, 2)        # rice method 0
+        w.put(3, 4)        # partition order 3
+        w.put(0xF, 4)      # escape
+        w.put(0, 5)        # 0 raw bits
+        w.align()
+        w.put(_crc16(w.data()), 16)
+        out += w.data()
+
+        with pytest.raises(ValueError):
+            decode_audio_bytes(bytes(out))
+
     def test_flac_constant_subframe(self):
         from fish_speech_tpu.audio.decode import decode_audio_bytes, native_available
         from tests.flac_writer import write_flac
