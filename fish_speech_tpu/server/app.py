@@ -6,6 +6,9 @@ Routes (reference: server/src/main.rs:61-64):
   POST /v1/audio/encoding  — multipart WAV -> .npy codec tokens; optional
                              ?id=&prompt= registers the voice in-memory
   GET  /v1/voices          — list registered voices
+  GET  /healthz            — readiness (superset: reference has none)
+  GET  /metrics            — Prometheus counters (superset: SURVEY §5
+                             notes the reference has no observability)
 
 Built on aiohttp. Generation runs in a worker thread; an asyncio lock
 serializes access to the engine (the reference serializes on a tokio
@@ -36,6 +39,66 @@ MAX_BODY_SIZE = 32 * 1024 * 1024  # 32 MiB, matching main.rs:69
 OPUS_RATE = 24000
 
 
+class Metrics:
+    """Process-wide serving counters, rendered in Prometheus text format
+    at GET /metrics. The reference has NO observability surface at all —
+    stdout prints only, no metrics endpoint, no request log (SURVEY §5);
+    this is the production-serving superset. Counters are updated from
+    the event loop and worker threads; CPython dict/float ops under the
+    GIL make the increments safe without a lock."""
+
+    def __init__(self) -> None:
+        import time
+
+        self.requests_total: Dict[tuple, int] = {}
+        self.request_seconds: Dict[str, float] = {}
+        self.in_flight = 0
+        self.audio_seconds_total = 0.0
+        self.started_at = time.time()
+
+    def observe(self, route: str, status: int, seconds: float) -> None:
+        key = (route, status)
+        self.requests_total[key] = self.requests_total.get(key, 0) + 1
+        self.request_seconds[route] = (
+            self.request_seconds.get(route, 0.0) + seconds
+        )
+
+    def add_audio_seconds(self, seconds: float) -> None:
+        self.audio_seconds_total += seconds
+
+    def render(self) -> str:
+        import time
+
+        lines = [
+            "# HELP fish_requests_total Requests by route and status.",
+            "# TYPE fish_requests_total counter",
+        ]
+        for (route, status), n in sorted(self.requests_total.items()):
+            lines.append(
+                f'fish_requests_total{{route="{route}",status="{status}"}} {n}'
+            )
+        lines += [
+            "# HELP fish_request_seconds_total Wall time by route.",
+            "# TYPE fish_request_seconds_total counter",
+        ]
+        for route, s in sorted(self.request_seconds.items()):
+            lines.append(
+                f'fish_request_seconds_total{{route="{route}"}} {s:.3f}'
+            )
+        lines += [
+            "# HELP fish_audio_seconds_total Seconds of audio synthesized.",
+            "# TYPE fish_audio_seconds_total counter",
+            f"fish_audio_seconds_total {self.audio_seconds_total:.3f}",
+            "# HELP fish_requests_in_flight Requests currently in flight.",
+            "# TYPE fish_requests_in_flight gauge",
+            f"fish_requests_in_flight {self.in_flight}",
+            "# HELP fish_uptime_seconds Seconds since server start.",
+            "# TYPE fish_uptime_seconds gauge",
+            f"fish_uptime_seconds {time.time() - self.started_at:.0f}",
+        ]
+        return "\n".join(lines) + "\n"
+
+
 class AppState:
     """(reference: server/lib/state.rs:12-29)."""
 
@@ -54,6 +117,7 @@ class AppState:
         # reference serializes every request on a tokio mutex).
         self.batcher = batcher
         self.lock = asyncio.Lock()  # serializes engine access (serial path)
+        self.metrics = Metrics()
 
 
 def _resolve_voice(state: AppState, name: str) -> Optional[np.ndarray]:
@@ -143,6 +207,9 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
                 if chunk is None:
                     break
                 pcm = chunk if as_pcm else chunk.pcm
+                state.metrics.add_audio_seconds(
+                    pcm.shape[-1] / pipeline.codec.sample_rate
+                )
                 data = encoder.encode(rs.process(pcm))
                 # stream in 1024-byte chunks like the reference
                 # (speech.rs:216-223)
@@ -217,6 +284,7 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
             )
 
         pcm = await asyncio.to_thread(_run_batched)
+        state.metrics.add_audio_seconds(len(pcm) / pipeline.codec.sample_rate)
         wav = pcm_to_wav_bytes(pcm, pipeline.codec.sample_rate)
         return web.Response(body=wav, content_type="audio/wav")
 
@@ -235,6 +303,7 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
             )
         else:
             pcm = await asyncio.to_thread(pipeline.synthesize, text, **kwargs)
+    state.metrics.add_audio_seconds(len(pcm) / pipeline.codec.sample_rate)
     wav = pcm_to_wav_bytes(pcm, pipeline.codec.sample_rate)
     return web.Response(body=wav, content_type="audio/wav")
 
@@ -346,6 +415,50 @@ async def error_middleware(request: web.Request, handler):
 
 
 @web.middleware
+async def metrics_middleware(request: web.Request, handler):
+    """Counts every request by route/status with wall time; sits outside
+    error_middleware so 500s are recorded too."""
+    import time
+
+    m: Metrics = request.app["state"].metrics
+    m.in_flight += 1
+    t0 = time.perf_counter()
+    status = 500
+    try:
+        resp = await handler(request)
+        status = resp.status
+        return resp
+    except web.HTTPException as exc:
+        status = exc.status
+        raise
+    finally:
+        m.in_flight -= 1
+        m.observe(request.path, status, time.perf_counter() - t0)
+
+
+async def handle_healthz(request: web.Request) -> web.Response:
+    """Liveness/readiness: models are loaded before serve() starts, so a
+    responding server is a ready server."""
+    state: AppState = request.app["state"]
+    return web.json_response(
+        {
+            "status": "ok",
+            "voices": len(state.voices),
+            "continuous_batching": state.batcher is not None,
+        }
+    )
+
+
+async def handle_metrics(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    return web.Response(
+        text=state.metrics.render(),
+        content_type="text/plain",
+        charset="utf-8",
+    )
+
+
+@web.middleware
 async def cors_middleware(request: web.Request, handler):
     """Permissive CORS, mirroring the reference's
     `CorsLayer::permissive()` on the axum router
@@ -380,16 +493,19 @@ async def cors_middleware(request: web.Request, handler):
 
 
 def create_app(state: AppState) -> web.Application:
-    # cors outermost so even error responses carry the CORS headers
+    # cors outermost so even error responses carry the CORS headers;
+    # metrics outside error_middleware so 500s are counted
     app = web.Application(
         client_max_size=MAX_BODY_SIZE,
-        middlewares=[cors_middleware, error_middleware],
+        middlewares=[cors_middleware, metrics_middleware, error_middleware],
     )
     app["state"] = state
     app.router.add_post("/v1/audio/speech", handle_speech)
     app.router.add_post("/v1/audio/encoding", handle_encoding)
     app.router.add_post("/v1/audio/hidden_states", handle_hidden_states)
     app.router.add_get("/v1/voices", handle_voices)
+    app.router.add_get("/healthz", handle_healthz)
+    app.router.add_get("/metrics", handle_metrics)
 
     async def _shutdown_batcher(app: web.Application) -> None:
         # graceful stop: release clients blocked on in-flight batched

@@ -278,6 +278,45 @@ def test_encoding_route_registers_voice(state):
     assert "cloned" in voices["voices"]
 
 
+def test_healthz_and_metrics_routes(state):
+    """Observability superset: the reference has no metrics endpoint or
+    request log at all (SURVEY §5). /healthz reports readiness; /metrics
+    renders Prometheus counters that reflect traffic."""
+
+    async def fn(client):
+        h = await client.get("/healthz")
+        assert h.status == 200
+        info = await h.json()
+        assert info["status"] == "ok" and info["voices"] == 1
+
+        resp = await _post_ok(
+            client,
+            "/v1/audio/speech",
+            {"voice": "default", "input": "Hello world.", "seed": 1},
+        )
+        assert resp.status == 200
+        await resp.read()
+
+        m = await client.get("/metrics")
+        assert m.status == 200
+        text = await m.text()
+        assert (
+            'fish_requests_total{route="/v1/audio/speech",status="200"} 1'
+            in text
+        )
+        assert 'fish_requests_total{route="/healthz",status="200"} 1' in text
+        assert "fish_audio_seconds_total" in text
+        # the speech request synthesized real audio
+        audio_s = float(
+            [l for l in text.splitlines()
+             if l.startswith("fish_audio_seconds_total")][0].split()[-1]
+        )
+        assert audio_s > 0.0
+        assert "fish_requests_in_flight 1" in text  # the /metrics call itself
+
+    _sync(_run(state, fn))
+
+
 def test_encoding_route_accepts_flac(state):
     """FLAC upload to /v1/audio/encoding (symphonia-default container
     coverage, reference pcm_decode.rs:26-89) decodes through the native
