@@ -118,6 +118,11 @@ class AppState:
         self.batcher = batcher
         self.lock = asyncio.Lock()  # serializes engine access (serial path)
         self.metrics = Metrics()
+        # when set, /v1/audio/encoding?id=&prompt= ALSO persists the new
+        # voice into this directory (npy + index.json) so it survives
+        # restarts — the reference leaves that manual (README
+        # "Persisting cloned voices")
+        self.persist_voice_dir = None
 
 
 def _resolve_voice(state: AppState, name: str) -> Optional[np.ndarray]:
@@ -388,6 +393,13 @@ async def handle_encoding(request: web.Request) -> web.Response:
         state.voices[voice_id] = (
             pipeline.prompt_encoder.encode_conditioning_prompt(prompt_text, codes)
         )
+        if state.persist_voice_dir is not None:
+            from fish_speech_tpu.server.voices import save_voice
+
+            await asyncio.to_thread(
+                save_voice, state.persist_voice_dir, voice_id,
+                prompt_text, codes,
+            )
 
     buf = io.BytesIO()
     np.save(buf, codes.astype(np.uint32))

@@ -42,6 +42,13 @@ def main() -> None:
         help="model version (reference: load.rs:24-48)",
     )
     parser.add_argument("--voice-dir", default="voices")
+    parser.add_argument(
+        "--persist-voices",
+        action="store_true",
+        help="voices registered via /v1/audio/encoding?id=&prompt= are "
+        "written back into --voice-dir (npy + index.json) and survive "
+        "restarts; the reference requires copying the .npy by hand",
+    )
     parser.add_argument("--port", type=int, default=3000)
     parser.add_argument("--temp", type=float, default=DEFAULT_TEMP)
     parser.add_argument("--top-p", type=float, default=DEFAULT_TOP_P)
@@ -163,6 +170,8 @@ def main() -> None:
     if batcher is not None and args.warmup:
         batcher.warmup(conditioning_lens=cond_lens)
     state = AppState(pipeline, voices, default_voice, batcher=batcher)
+    if args.persist_voices:
+        state.persist_voice_dir = args.voice_dir
     serve(state, port=args.port)
 
 

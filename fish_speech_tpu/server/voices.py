@@ -41,3 +41,28 @@ def load_speaker_prompts(
             f"Voice directory {voice_dir} must contain a 'default' speaker"
         )
     return voices, voices["default"]
+
+
+def save_voice(
+    voice_dir: str | Path,
+    name: str,
+    prompt_text: str,
+    codes: np.ndarray,
+) -> None:
+    """Persist a runtime-registered voice into the voices directory so it
+    survives restarts: writes <name>.npy and adds the speaker to
+    index.json (atomic rename). The reference leaves this manual — its
+    README tells users to copy the returned .npy into the voices dir
+    themselves ("Persisting cloned voices")."""
+    voice_dir = Path(voice_dir)
+    voice_dir.mkdir(parents=True, exist_ok=True)
+    np.save(voice_dir / f"{name}.npy", np.asarray(codes, np.uint32))
+    index_path = voice_dir / "index.json"
+    index = {"speakers": {}}
+    if index_path.exists():
+        with open(index_path) as f:
+            index = json.load(f)
+    index.setdefault("speakers", {})[name] = prompt_text
+    tmp = index_path.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(index, indent=2) + "\n")
+    tmp.replace(index_path)

@@ -348,6 +348,47 @@ def test_encoding_route_accepts_flac(state):
     assert codes.shape[-1] > 0
 
 
+def test_encoding_route_persists_voice(state, tmp_path):
+    """--persist-voices superset: a runtime-registered voice is written
+    back to the voices dir (npy + index.json) and reloads through the
+    startup registry — the reference requires copying the returned .npy
+    by hand (README 'Persisting cloned voices')."""
+    from fish_speech_tpu.server.voices import load_speaker_prompts
+
+    vdir = tmp_path / "voices"
+    state.persist_voice_dir = vdir
+    audio = (np.random.default_rng(1).normal(size=6400) * 0.1).astype(np.float32)
+    wav_bytes = pcm_to_wav_bytes(audio, 44100)
+
+    async def fn(client):
+        import aiohttp
+
+        form = aiohttp.FormData()
+        form.add_field("file", wav_bytes, filename="r.wav", content_type="audio/wav")
+        resp = await client.post(
+            "/v1/audio/encoding?id=persisted&prompt=my voice", data=form
+        )
+        assert resp.status == 200, await resp.text()
+        return await resp.read()
+
+    body = _sync(_run(state, fn))
+    codes = np.load(io.BytesIO(body))
+    saved = np.load(vdir / "persisted.npy")
+    np.testing.assert_array_equal(saved, codes)
+    idx = json.loads((vdir / "index.json").read_text())
+    assert idx["speakers"]["persisted"] == "my voice"
+
+    # the persisted dir round-trips through the startup loader (needs a
+    # default speaker; reuse the same artifact)
+    (vdir / "default.npy").write_bytes((vdir / "persisted.npy").read_bytes())
+    idx["speakers"]["default"] = "my voice"
+    (vdir / "index.json").write_text(json.dumps(idx))
+    voices, default = load_speaker_prompts(
+        vdir, state.pipeline.prompt_encoder, NUM_CODEBOOKS
+    )
+    np.testing.assert_array_equal(voices["persisted"], state.voices["persisted"])
+
+
 def test_opus_streaming_route(state):
     from fish_speech_tpu.audio.opus import OggOpusEncoder
 
