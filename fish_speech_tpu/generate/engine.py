@@ -107,6 +107,7 @@ class LMEngine:
         prompt_buckets=DEFAULT_BUCKETS,
         dtype=jnp.bfloat16,
         attention_impl: str = "auto",
+        fast_frame_impl: str = "auto",
         mesh=None,
         quantize_int8: bool = False,
         _params_preprocessed: bool = False,
@@ -164,6 +165,31 @@ class LMEngine:
                 )
         self.pallas_interpret = (
             self.use_pallas and jax.default_backend() != "tpu"
+        )
+        # Whole-frame fused fast-stack kernel (ops/fast_frame_pallas.py):
+        # single-row engines on a single device only — batched engines
+        # amortize the 8x fast-weight re-read across rows and keep XLA.
+        # "auto" -> on for TPU; "fused" forces it (interpret mode off-TPU,
+        # for parity tests); "xla" disables.
+        from fish_speech_tpu.ops.fast_frame_pallas import (
+            fused_fast_frame_supported,
+        )
+
+        fused_ok = (
+            (mesh is None or mesh.size == 1)
+            and fused_fast_frame_supported(cfg, params, batch_size)
+        )
+        if fast_frame_impl == "auto":
+            self.use_fused_fast = fused_ok and jax.default_backend() == "tpu"
+        else:
+            self.use_fused_fast = fast_frame_impl == "fused"
+            if self.use_fused_fast and not fused_ok:
+                raise ValueError(
+                    "fast_frame_impl='fused' requires batch_size=1, a "
+                    "single device, and an unquantized bf16/f32 fast stack"
+                )
+        self.fused_fast_interpret = (
+            self.use_fused_fast and jax.default_backend() != "tpu"
         )
         self.token_cfg = token_cfg
         self.lm = lm
@@ -290,6 +316,8 @@ class LMEngine:
             state.rep_pen,
             state.prev,
             frame_rng,
+            use_fused_fast=self.use_fused_fast,
+            fused_interpret=self.fused_fast_interpret,
         )
         # Done rows keep emitting EOS frames and stop advancing.
         frame = jnp.where(

@@ -105,6 +105,9 @@ def generate_frame(
     rep_pen: RepPenWindow,
     prev_tokens,  # (B, C+1) int32 or None on the prefill frame
     rng: jax.Array,
+    *,
+    use_fused_fast: bool = False,
+    fused_interpret: bool = False,
 ) -> FrameResult:
     """Sample the semantic token, then run the fast transformer over the
     codebook axis to fill the remaining rows of the frame.
@@ -125,6 +128,37 @@ def generate_frame(
     rep_pen_enabled = not cfg.depthwise_wte and sampling.repetition_penalty != 1.0
     if prev_tokens is not None and rep_pen_enabled:
         rep_pen = rep_pen.push(prev_tokens[:, 1:])
+
+    if use_fused_fast:
+        # Whole-frame Pallas kernel: all codebook steps (fast layers,
+        # rep-pen, top-k/top-p gumbel draw, next-step embedding) in one
+        # kernel whose weights are fetched into VMEM once per frame
+        # (ops/fast_frame_pallas.py; token-exact vs the XLA loop below).
+        # The gumbel noise is drawn OUTSIDE with the same rng splits and
+        # shapes the XLA sampler uses, so both paths sample identically.
+        from fish_speech_tpu.ops.fast_frame_pallas import fused_fast_frame
+
+        cb_rngs = jax.random.split(rng, cfg.num_codebooks)
+        k_eff = min(sampling.top_k, cfg.codebook_size)
+        gum = jnp.stack(
+            [
+                jax.random.gumbel(cb_rngs[cb], (1, k_eff), dtype=jnp.float32)[0]
+                for cb in range(cfg.num_codebooks)
+            ]
+        )  # (C, k_eff)
+        toks = fused_fast_frame(
+            params,
+            cfg,
+            sampling,
+            hidden,
+            rep_pen.tokens[0],
+            gum,
+            is_eos,
+            rep_enabled=rep_pen_enabled,
+            interpret=fused_interpret,
+        )  # (C,)
+        frame = jnp.concatenate([semantic[:, None], toks[None, :]], axis=1)
+        return FrameResult(tokens=frame, is_eos=is_eos, rep_pen=rep_pen)
 
     # The per-frame codebook loop is UNROLLED in Python: with <= 8 steps of
     # a 4-layer model every shape and index is static, the fast "cache" is
