@@ -108,6 +108,7 @@ class LMEngine:
         dtype=jnp.bfloat16,
         attention_impl: str = "auto",
         fast_frame_impl: str = "auto",
+        slow_impl: str = "auto",
         mesh=None,
         quantize_int8: bool = False,
         _params_preprocessed: bool = False,
@@ -190,6 +191,31 @@ class LMEngine:
                 )
         self.fused_fast_interpret = (
             self.use_fused_fast and jax.default_backend() != "tpu"
+        )
+        # Whole-step fused slow-stack kernel (ops/slow_step_pallas.py):
+        # same eligibility shape as the fast-frame kernel — batch-1
+        # engines on a single device, unquantized. Logits agree with the
+        # XLA lowering to ~2 ulp (reduction-order), token streams are
+        # checked equal in tests/test_slow_step.py.
+        from fish_speech_tpu.ops.slow_step_pallas import (
+            fused_slow_step_supported,
+        )
+
+        slow_ok = (
+            (mesh is None or mesh.size == 1)
+            and fused_slow_step_supported(cfg, params, batch_size)
+        )
+        if slow_impl == "auto":
+            self.use_fused_slow = slow_ok and jax.default_backend() == "tpu"
+        else:
+            self.use_fused_slow = slow_impl == "fused"
+            if self.use_fused_slow and not slow_ok:
+                raise ValueError(
+                    "slow_impl='fused' requires batch_size=1, a single "
+                    "device, and an unquantized slow stack"
+                )
+        self.fused_slow_interpret = (
+            self.use_fused_slow and jax.default_backend() != "tpu"
         )
         self.token_cfg = token_cfg
         self.lm = lm
@@ -294,17 +320,35 @@ class LMEngine:
 
     def _decode_body(self, params, sampling: SamplingArgs, state: GenState):
         rng, frame_rng = jax.random.split(state.rng)
-        logits, hidden, cache = slow_decode_step(
-            params,
-            self.cfg,
-            self.token_cfg,
-            state.prev,
-            state.cache,
-            state.pos,
-            use_pallas=self.use_pallas,
-            mesh=self.mesh,
-            pallas_interpret=self.pallas_interpret,
-        )
+        if self.use_fused_slow:
+            from fish_speech_tpu.models.dual_ar import KVCache, embed_tokens
+            from fish_speech_tpu.ops.slow_step_pallas import fused_slow_step
+
+            x0 = embed_tokens(
+                params, self.cfg, self.token_cfg, state.prev[:, :, None]
+            )[:, 0, :]
+            logits, hidden, ck, cv = fused_slow_step(
+                params,
+                self.cfg,
+                x0,
+                state.pos,
+                state.cache.k,
+                state.cache.v,
+                interpret=self.fused_slow_interpret,
+            )
+            cache = KVCache(k=ck, v=cv)
+        else:
+            logits, hidden, cache = slow_decode_step(
+                params,
+                self.cfg,
+                self.token_cfg,
+                state.prev,
+                state.cache,
+                state.pos,
+                use_pallas=self.use_pallas,
+                mesh=self.mesh,
+                pallas_interpret=self.pallas_interpret,
+            )
         res: FrameResult = generate_frame(
             params,
             self.cfg,
