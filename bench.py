@@ -564,6 +564,8 @@ def verify_pallas() -> None:
         # bf16 has ~2^-8 relative steps; attention outputs are O(1)
         assert a_err < 0.05, f"layer {layer}: attn divergence {a_err}"
 
+    verify_fused_kernels()
+
     print(
         json.dumps(
             {
@@ -575,6 +577,133 @@ def verify_pallas() -> None:
             }
         )
     )
+
+
+def verify_fused_kernels() -> None:
+    """Numeric check of the two whole-step fused kernels
+    (ops/fast_frame_pallas.py, ops/slow_step_pallas.py) against the XLA
+    lowerings ON THE CURRENT BACKEND, in bf16 at a reduced-but-legal
+    TPU shape (d=256=4x64 heads, the same tiling class as Fish 1.5 —
+    full-size compiles are covered by the main bench run; this validates
+    the compiled Mosaic kernels, not just interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fish_speech_tpu.config import DualARConfig, TokenConfig, WhichLM
+    from fish_speech_tpu.generate import frame as framemod
+    from fish_speech_tpu.models.dual_ar import (
+        embed_tokens,
+        init_dual_ar_params,
+        slow_decode_step,
+    )
+    from fish_speech_tpu.models.dual_ar import KVCache
+    from fish_speech_tpu.ops.sampling import RepPenWindow, SamplingArgs
+    from fish_speech_tpu.ops.slow_step_pallas import fused_slow_step
+
+    cfg = DualARConfig(
+        vocab_size=1024, n_layer=2, n_fast_layer=2, n_head=4, dim=256,
+        intermediate_size=512, n_local_heads=2, head_dim=64,
+        rope_base=10000.0, norm_eps=1e-6, max_seq_len=256,
+        codebook_size=256, num_codebooks=8,
+    )
+    tok = TokenConfig(
+        im_end_id=9, pad_id=5, semantic_start_id=10,
+        semantic_end_id=10 + cfg.codebook_size - 1,
+    )
+    dt = jnp.bfloat16
+    params = dict(init_dual_ar_params(jax.random.PRNGKey(0), cfg, dtype=dt))
+    cols = framemod.semantic_head_columns(WhichLM.FISH_1_5, tok, cfg)
+    params["output"] = jnp.take(params["output"], jnp.asarray(cols), axis=1)
+
+    # -- slow step: logits/hidden allclose, cache rows exact ---------------
+    rng = np.random.default_rng(1)
+    cache = KVCache(
+        k=jnp.asarray(
+            rng.normal(size=(cfg.n_layer, 1, cfg.n_local_heads, 256, cfg.head_dim)) * 0.3, dt
+        ),
+        v=jnp.asarray(
+            rng.normal(size=(cfg.n_layer, 1, cfg.n_local_heads, 256, cfg.head_dim)) * 0.3, dt
+        ),
+    )
+    tokens = jnp.asarray(rng.integers(0, 200, (1, cfg.num_codebooks + 1)), jnp.int32)
+    pos = jnp.asarray([37], jnp.int32)
+    ref_logits, ref_hidden, ref_cache = slow_decode_step(
+        params, cfg, tok, tokens, cache, pos
+    )
+    x0 = embed_tokens(params, cfg, tok, tokens[:, :, None])[:, 0, :]
+    got_logits, got_hidden, ck2, cv2 = fused_slow_step(
+        params, cfg, x0, pos, cache.k, cache.v
+    )
+    slow_err = float(
+        jnp.max(jnp.abs(ref_logits.astype(jnp.float32) - got_logits))
+    )
+    hid_err = float(
+        jnp.max(
+            jnp.abs(
+                ref_hidden.astype(jnp.float32) - got_hidden.astype(jnp.float32)
+            )
+        )
+    )
+    # The WRITTEN row agrees to bf16 matmul-accumulation wobble (~1 ulp,
+    # XLA's default bf16 dot vs the kernel's preferred-f32 accumulate);
+    # every UNTOUCHED row must be bitwise identical (the masked merge
+    # must not disturb history).
+    row_err = max(
+        float(
+            jnp.max(
+                jnp.abs(
+                    ref_cache.k[:, 0, :, 37].astype(jnp.float32)
+                    - ck2[:, 0, :, 37].astype(jnp.float32)
+                )
+            )
+        ),
+        float(
+            jnp.max(
+                jnp.abs(
+                    ref_cache.v[:, 0, :, 37].astype(jnp.float32)
+                    - cv2[:, 0, :, 37].astype(jnp.float32)
+                )
+            )
+        ),
+    )
+    others = jnp.arange(256) != 37
+    rows_eq = bool(jnp.all(cache.k[:, :, :, others] == ck2[:, :, :, others])) and bool(
+        jnp.all(cache.v[:, :, :, others] == cv2[:, :, :, others])
+    )
+    log(
+        f"fused slow step: logits max-err {slow_err:.4f}, hidden max-err "
+        f"{hid_err:.4f}, written-row max-err {row_err:.4f}, "
+        f"untouched rows exact: {rows_eq}"
+    )
+    assert slow_err < 0.5, f"fused slow step logits divergence {slow_err}"
+    assert row_err < 0.05, f"fused slow step cache write divergence {row_err}"
+    assert rows_eq, "fused slow step disturbed untouched cache rows"
+
+    # -- fast frame: greedy tokens equal -----------------------------------
+    sampling = SamplingArgs(temp=0.0, top_p=1.0, top_k=64, repetition_penalty=1.0)
+    logits_w = jnp.asarray(
+        rng.normal(size=(1, params["output"].shape[1])) * 2.0, jnp.float32
+    )
+    hidden_in = jnp.asarray(rng.normal(size=(1, cfg.dim)) * 0.3, dt)
+    rp = RepPenWindow.init((1, cfg.num_codebooks), 16)
+    prev = jnp.asarray(
+        rng.integers(0, cfg.codebook_size, (1, cfg.num_codebooks + 1)), jnp.int32
+    )
+    frng = jax.random.PRNGKey(3)
+    ref = framemod.generate_frame(
+        params, cfg, tok, WhichLM.FISH_1_5, sampling, logits_w, hidden_in,
+        rp, prev, frng,
+    )
+    got = framemod.generate_frame(
+        params, cfg, tok, WhichLM.FISH_1_5, sampling, logits_w, hidden_in,
+        rp, prev, frng, use_fused_fast=True,
+    )
+    ref_t = np.asarray(ref.tokens)
+    got_t = np.asarray(got.tokens)
+    eq = bool(np.array_equal(ref_t, got_t))
+    log(f"fused fast frame: greedy tokens equal: {eq} ({got_t[0].tolist()})")
+    assert eq, f"fused fast frame token mismatch: {ref_t} vs {got_t}"
 
 
 def bench_encode(trials: int = 5) -> None:
