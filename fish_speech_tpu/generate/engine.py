@@ -211,8 +211,8 @@ class LMEngine:
             self.use_fused_slow = slow_impl == "fused"
             if self.use_fused_slow and not slow_ok:
                 raise ValueError(
-                    "slow_impl='fused' requires batch_size=1, a single "
-                    "device, and an unquantized slow stack"
+                    "slow_impl='fused' requires batch_size=1 and a "
+                    "single device"
                 )
         self.fused_slow_interpret = (
             self.use_fused_slow and jax.default_backend() != "tpu"

@@ -133,7 +133,8 @@ def _rms_flat(x, w_row, eps):
     return (normed * w_row.astype(jnp.float32)).astype(x.dtype)
 
 
-def _make_kernel(cfg: DualARConfig, head_width: int, s_max: int):
+def _make_kernel(cfg: DualARConfig, head_width: int, s_max: int,
+                 quantized: bool):
     d, h, kv, hd = cfg.dim, cfg.n_head, cfg.n_local_heads, cfg.head_dim
     n_layers = cfg.n_layer
     eps = cfg.norm_eps
@@ -144,29 +145,53 @@ def _make_kernel(cfg: DualARConfig, head_width: int, s_max: int):
     def kernel(
         x0_ref,       # (1, D) embedded step input
         an_ref,       # (L, D) attention_norm (whole)
-        wqkv_ref,     # (1, D, QKV) this layer's block
+        wqkv_ref,     # (1, D, QKV) this layer's block (int8 when quantized)
         wo_ref,       # (1, D, D)
         fn_ref,       # (L, D) ffn_norm (whole)
         w1_ref,       # (1, D, F)
         w3_ref,       # (1, D, F)
         w2_ref,       # (1, F, D)
-        norm_ref,     # (1, D) final norm
-        head_ref,     # (D, W) gathered LM head
-        e_ref,        # (KV, D, hd) act dtype
-        r_ref,        # (H, D) f32
-        p_ref,        # (QKV, QKV) act dtype
-        sel_ref,      # (KV, KV*hd, hd) act dtype
-        cosf_ref,     # (1, QKV) f32
-        sinf_ref,     # (1, QKV) f32
-        pos_ref,      # (1, 1) SMEM int32
-        ck_ref,       # (1, 1, KV, S, hd) aliased in
-        cv_ref,       # (1, 1, KV, S, hd) aliased in
-        logits_ref,   # (1, W) f32 out (constant window)
-        hidden_ref,   # (1, D) out (constant window)
-        cko_ref,      # (1, 1, KV, S, hd) aliased out
-        cvo_ref,      # (1, 1, KV, S, hd) aliased out
-        x_s,          # VMEM scratch (1, D): activation across layers
+        *rest,
     ):
+        # optional per-layer scale blocks follow the weights when the
+        # stack is int8-quantized (ops/quant.py per-output-channel)
+        if quantized:
+            (sqkv_ref, so_ref, s1_ref, s3_ref, s2_ref) = rest[:5]
+            rest = rest[5:]
+        else:
+            sqkv_ref = so_ref = s1_ref = s3_ref = s2_ref = None
+        (
+            norm_ref,     # (1, D) final norm
+            head_ref,     # (D, W) gathered LM head
+            e_ref,        # (KV, D, hd) act dtype
+            r_ref,        # (H, D) f32
+            p_ref,        # (QKV, QKV) act dtype
+            sel_ref,      # (KV, KV*hd, hd) act dtype
+            cosf_ref,     # (1, QKV) f32
+            sinf_ref,     # (1, QKV) f32
+            pos_ref,      # (1, 1) SMEM int32
+            ck_ref,       # (1, 1, KV, S, hd) aliased in
+            cv_ref,       # (1, 1, KV, S, hd) aliased in
+            logits_ref,   # (1, W) f32 out (constant window)
+            hidden_ref,   # (1, D) out (constant window)
+            cko_ref,      # (1, 1, KV, S, hd) aliased out
+            cvo_ref,      # (1, 1, KV, S, hd) aliased out
+            x_s,          # VMEM scratch (1, D): activation across layers
+        ) = rest
+
+        def _wdot(xv, w_ref, s_ref):
+            """x @ w mirroring ops/quant.py::matmul: int8 weights convert
+            at the dot's operand read, then per-channel rescale."""
+            if not quantized:
+                return jnp.dot(
+                    xv, w_ref[0], preferred_element_type=jnp.float32
+                ).astype(xv.dtype)
+            y = jnp.dot(
+                xv, w_ref[0].astype(xv.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(xv.dtype)
+            return y * s_ref[0, 0, :].astype(xv.dtype)
+
         l = pl.program_id(0)
         pos = pos_ref[0, 0]
         r_m = r_ref[...]
@@ -187,9 +212,7 @@ def _make_kernel(cfg: DualARConfig, head_width: int, s_max: int):
             )
 
         hN = _rms_flat(x, _row(an_ref)[0], eps)
-        qkv_f = jnp.dot(
-            hN, wqkv_ref[0], preferred_element_type=jnp.float32
-        ).astype(x.dtype)  # (1, QKV)
+        qkv_f = _wdot(hN, wqkv_ref, sqkv_ref)  # (1, QKV)
         perm = jnp.dot(qkv_f, p_ref[...], preferred_element_type=jnp.float32)
         rot = (
             qkv_f.astype(jnp.float32) * cosf_ref[...] + perm * sinf_ref[...]
@@ -253,19 +276,21 @@ def _make_kernel(cfg: DualARConfig, head_width: int, s_max: int):
             x.dtype
         )  # (1, D)
 
-        x = x + jnp.dot(
-            attn_flat, wo_ref[0], preferred_element_type=jnp.float32
-        ).astype(x.dtype)
+        x = x + _wdot(attn_flat, wo_ref, so_ref)
         h2 = _rms_flat(x, _row(fn_ref)[0], eps)
-        gate = jax.nn.silu(
-            jnp.dot(h2, w1_ref[0], preferred_element_type=jnp.float32)
-        ).astype(x.dtype)
-        w3h = jnp.dot(
-            h2, w3_ref[0], preferred_element_type=jnp.float32
-        ).astype(x.dtype)
-        x = x + jnp.dot(
-            gate * w3h, w2_ref[0], preferred_element_type=jnp.float32
-        ).astype(x.dtype)
+        if quantized:
+            # mirror ops/quant.py::matmul + the XLA fast path's
+            # silu(f32-cast) ordering: the scaled bf16 product is what
+            # silu sees
+            gate = jax.nn.silu(
+                _wdot(h2, w1_ref, s1_ref).astype(jnp.float32)
+            ).astype(x.dtype)
+        else:
+            gate = jax.nn.silu(
+                jnp.dot(h2, w1_ref[0], preferred_element_type=jnp.float32)
+            ).astype(x.dtype)
+        w3h = _wdot(h2, w3_ref, s3_ref)
+        x = x + _wdot(gate * w3h, w2_ref, s2_ref)
         x_s[...] = x
 
         @pl.when(l == n_layers - 1)
@@ -298,14 +323,21 @@ def fused_slow_step(
     s_max = ck.shape[3]
     act_dtype = x0.dtype
     slow = params["slow"]
-    f_dim = slow["w1"].shape[2]
+    quantized = isinstance(slow["wqkv"], dict)
+    if quantized:
+        wq = {k: slow[k]["q"] for k in ("wqkv", "wo", "w1", "w3", "w2")}
+        ws = {k: slow[k]["s"] for k in ("wqkv", "wo", "w1", "w3", "w2")}
+    else:
+        wq = {k: slow[k] for k in ("wqkv", "wo", "w1", "w3", "w2")}
+        ws = None
+    f_dim = wq["w1"].shape[2]
     head = params["output"]
     head_width = head.shape[1]
 
     e_np, r_np, p_np, sel_np = _constants(d, h, kv, hd, qkv)
     cos_flat, sin_flat = rope_lane_vectors(cfg, pos[0])
 
-    kernel = _make_kernel(cfg, head_width, s_max)
+    kernel = _make_kernel(cfg, head_width, s_max, quantized)
 
     const2 = lambda i: (0, 0)
     const3 = lambda i: (0, 0, 0)
@@ -320,6 +352,16 @@ def fused_slow_step(
         pl.BlockSpec((1, d, f_dim), layer3),             # w1
         pl.BlockSpec((1, d, f_dim), layer3),             # w3
         pl.BlockSpec((1, f_dim, d), layer3),             # w2
+    ]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, qkv), layer3),           # wqkv scales
+            pl.BlockSpec((1, 1, d), layer3),             # wo scales
+            pl.BlockSpec((1, 1, f_dim), layer3),         # w1 scales
+            pl.BlockSpec((1, 1, f_dim), layer3),         # w3 scales
+            pl.BlockSpec((1, 1, d), layer3),             # w2 scales
+        ]
+    in_specs += [
         pl.BlockSpec((1, d), const2),                    # final norm
         pl.BlockSpec((d, head_width), const2),           # gathered head
         pl.BlockSpec((kv, d, hd), const3),               # E_g
@@ -338,6 +380,32 @@ def fused_slow_step(
         pl.BlockSpec((1, 1, kv, s_max, hd), cache_map),  # ck out
         pl.BlockSpec((1, 1, kv, s_max, hd), cache_map),  # cv out
     ]
+    ck_idx = len(in_specs) - 2  # position of ck among the operands
+    operands = [
+        x0,
+        slow["attention_norm"],
+        wq["wqkv"],
+        wq["wo"],
+        slow["ffn_norm"],
+        wq["w1"],
+        wq["w3"],
+        wq["w2"],
+    ]
+    if quantized:
+        operands += [ws["wqkv"], ws["wo"], ws["w1"], ws["w3"], ws["w2"]]
+    operands += [
+        params["norm"][None, :],
+        head,
+        jnp.asarray(e_np, act_dtype),
+        jnp.asarray(r_np, jnp.float32),
+        jnp.asarray(p_np, act_dtype),
+        jnp.asarray(sel_np, act_dtype),
+        cos_flat,
+        sin_flat,
+        pos.astype(jnp.int32).reshape(1, 1),
+        ck,
+        cv,
+    ]
     logits, hidden, ck_out, cv_out = pl.pallas_call(
         kernel,
         grid=(lay,),
@@ -350,42 +418,22 @@ def fused_slow_step(
             jax.ShapeDtypeStruct(cv.shape, cv.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((1, d), act_dtype)],
-        input_output_aliases={17: 2, 18: 3},
+        input_output_aliases={ck_idx: 2, ck_idx + 1: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(
-        x0,
-        slow["attention_norm"],
-        slow["wqkv"],
-        slow["wo"],
-        slow["ffn_norm"],
-        slow["w1"],
-        slow["w3"],
-        slow["w2"],
-        params["norm"][None, :],
-        head,
-        jnp.asarray(e_np, act_dtype),
-        jnp.asarray(r_np, jnp.float32),
-        jnp.asarray(p_np, act_dtype),
-        jnp.asarray(sel_np, act_dtype),
-        cos_flat,
-        sin_flat,
-        pos.astype(jnp.int32).reshape(1, 1),
-        ck,
-        cv,
-    )
+    )(*operands)
     return logits, hidden, ck_out, cv_out
 
 
 def fused_slow_step_supported(cfg: DualARConfig, params, batch: int) -> bool:
-    """Static eligibility: single row, unquantized slow stack, even
-    head_dim (paired RoPE)."""
+    """Static eligibility: single row, even head_dim (paired RoPE).
+    Both bf16/f32 and int8-quantized (ops/quant.py) slow stacks are
+    supported — int8 halves the kernel's HBM weight traffic, which is
+    exactly what this HBM-bound kernel is limited by."""
     if batch != 1:
-        return False
-    if isinstance(params["slow"].get("wqkv"), dict):  # int8-quantized
         return False
     if cfg.head_dim % 2:
         return False

@@ -193,3 +193,31 @@ def test_gating():
         params, CFG, TOK, WhichLM.FISH_1_5, batch_size=1, dtype=jnp.float32
     )
     assert not engine.use_fused_slow  # auto stays off off-TPU
+
+
+def test_fused_slow_step_int8():
+    """int8-quantized slow stack through the fused kernel matches the
+    XLA int8 path (ops/quant.py::matmul) — the kernel's per-channel
+    rescale must mirror the dequant-at-operand-read lowering."""
+    from fish_speech_tpu.ops.quant import quantize_lm_params
+
+    params = _setup(seed=2)
+    qparams = quantize_lm_params(params)
+    rng = np.random.default_rng(9)
+    cache = KVCache.init(CFG.n_layer, 1, CFG.n_local_heads, 32, CFG.head_dim, jnp.float32)
+    tokens = jnp.asarray(rng.integers(0, 40, (1, CFG.num_codebooks + 1)), jnp.int32)
+    pos = jnp.asarray([3], jnp.int32)
+    ref_logits, ref_hidden, ref_cache = slow_decode_step(
+        qparams, CFG, TOK, tokens, cache, pos
+    )
+    x0 = embed_tokens(qparams, CFG, TOK, tokens[:, :, None])[:, 0, :]
+    got_logits, got_hidden, ck2, cv2 = fused_slow_step(
+        qparams, CFG, x0, pos, cache.k, cache.v, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_logits), np.asarray(got_logits), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_cache.k), np.asarray(ck2), atol=1e-5, rtol=1e-5
+    )
+    assert fused_slow_step_supported(CFG, qparams, 1)
