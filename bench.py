@@ -705,6 +705,42 @@ def verify_fused_kernels() -> None:
     log(f"fused fast frame: greedy tokens equal: {eq} ({got_t[0].tolist()})")
     assert eq, f"fused fast frame token mismatch: {ref_t} vs {got_t}"
 
+    # -- int8 variants of both kernels (ops/quant.py weights) --------------
+    from fish_speech_tpu.ops.quant import quantize_lm_params
+
+    qparams = quantize_lm_params(params)
+    q_logits, _, qck, qcv = fused_slow_step(
+        qparams, cfg, x0, pos, cache.k, cache.v
+    )
+    qref_logits, _, qref_cache = slow_decode_step(
+        qparams, cfg, tok, tokens, cache, pos
+    )
+    q_err = float(
+        jnp.max(jnp.abs(qref_logits.astype(jnp.float32) - q_logits))
+    )
+    q_rows_eq = bool(
+        jnp.all(cache.k[:, :, :, others] == qck[:, :, :, others])
+    ) and bool(jnp.all(cache.v[:, :, :, others] == qcv[:, :, :, others]))
+    log(f"fused slow step int8: logits max-err {q_err:.4f}, untouched rows "
+        f"exact: {q_rows_eq}")
+    assert q_err < 0.5, f"fused int8 slow step logits divergence {q_err}"
+    assert q_rows_eq, "fused int8 slow step disturbed untouched cache rows"
+
+    qref = framemod.generate_frame(
+        qparams, cfg, tok, WhichLM.FISH_1_5, sampling, logits_w, hidden_in,
+        rp, prev, frng,
+    )
+    qgot = framemod.generate_frame(
+        qparams, cfg, tok, WhichLM.FISH_1_5, sampling, logits_w, hidden_in,
+        rp, prev, frng, use_fused_fast=True,
+    )
+    q_eq = bool(np.array_equal(np.asarray(qref.tokens), np.asarray(qgot.tokens)))
+    log(f"fused fast frame int8: greedy tokens equal: {q_eq}")
+    assert q_eq, (
+        f"fused int8 fast frame token mismatch: {np.asarray(qref.tokens)} "
+        f"vs {np.asarray(qgot.tokens)}"
+    )
+
 
 def bench_encode(trials: int = 5) -> None:
     """Voice-cloning encode path RTF (the reference prints "Encoding RTF"

@@ -186,8 +186,8 @@ class LMEngine:
             self.use_fused_fast = fast_frame_impl == "fused"
             if self.use_fused_fast and not fused_ok:
                 raise ValueError(
-                    "fast_frame_impl='fused' requires batch_size=1, a "
-                    "single device, and an unquantized bf16/f32 fast stack"
+                    "fast_frame_impl='fused' requires batch_size=1 and a "
+                    "single device"
                 )
         self.fused_fast_interpret = (
             self.use_fused_fast and jax.default_backend() != "tpu"

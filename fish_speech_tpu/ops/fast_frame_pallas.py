@@ -125,7 +125,8 @@ def _rms_flat(x, w_row, eps):
 
 
 def _make_kernel(cfg: DualARConfig, *, temp: float, top_p: float,
-                 top_k: int, penalty: float, rep_enabled: bool):
+                 top_k: int, penalty: float, rep_enabled: bool,
+                 quantized: bool):
     d, h, kv, hd = cfg.dim, cfg.n_head, cfg.n_local_heads, cfg.head_dim
     n_layers, n_cb = cfg.n_fast_layer, cfg.num_codebooks
     cb_size = cfg.codebook_size
@@ -137,28 +138,53 @@ def _make_kernel(cfg: DualARConfig, *, temp: float, top_p: float,
     def kernel(
         x0_ref,        # (1, D) slow hidden
         an_ref,        # (L, D) attention_norm
-        wqkv_ref,      # (L, D, QKV)
+        wqkv_ref,      # (L, D, QKV) (int8 when quantized)
         wo_ref,        # (L, D, D)
         fn_ref,        # (L, D) ffn_norm
         w1_ref,        # (L, D, F)
         w3_ref,        # (L, D, F)
         w2_ref,        # (L, F, D)
-        fnorm_ref,     # (1, D) fast_norm
-        head_ref,      # (D, cb_size) block (depthwise: step's slice)
-        emb_ref,       # (vocab, D) block (depthwise_wte: step's slice)
-        e_ref,         # (D, KV*hd) activation dtype
-        r_ref,         # (H, D) f32
-        p_ref,         # (QKV, QKV) activation dtype
-        cosf_ref,      # (C, QKV) f32 — per-step rows (row cb selected in-kernel)
-        sinf_ref,      # (C, QKV) f32
-        rp_ref,        # (C, W) int32 — per-step rep-pen window tokens
-        gum_ref,       # (C, k_eff) f32 — per-step gumbel noise
-        eos_ref,       # (1, 1) int32 is_eos
-        out_ref,       # (1, C) int32 sampled tokens (constant window)
-        x_s,           # VMEM scratch (1, D): activation across steps
-        k_s,           # VMEM scratch (L, C, KV*hd): K history
-        v_s,           # VMEM scratch (L, C, KV*hd): V history
+        *rest,
     ):
+        # optional per-layer scale blocks follow the weights when the
+        # stack is int8-quantized (ops/quant.py per-output-channel)
+        if quantized:
+            (sqkv_ref, so_ref, s1_ref, s3_ref, s2_ref) = rest[:5]
+            rest = rest[5:]
+        else:
+            sqkv_ref = so_ref = s1_ref = s3_ref = s2_ref = None
+        (
+            fnorm_ref,     # (1, D) fast_norm
+            head_ref,      # (D, cb_size) block (depthwise: step's slice)
+            emb_ref,       # (vocab, D) block (depthwise_wte: step's slice)
+            e_ref,         # (D, KV*hd) activation dtype
+            r_ref,         # (H, D) f32
+            p_ref,         # (QKV, QKV) activation dtype
+            cosf_ref,      # (C, QKV) f32 — per-step rows (row cb in-kernel)
+            sinf_ref,      # (C, QKV) f32
+            rp_ref,        # (C, W) int32 — per-step rep-pen window tokens
+            gum_ref,       # (C, k_eff) f32 — per-step gumbel noise
+            eos_ref,       # (1, 1) int32 is_eos
+            out_ref,       # (1, C) int32 sampled tokens (constant window)
+            x_s,           # VMEM scratch (1, D): activation across steps
+            k_s,           # VMEM scratch (L, C, KV*hd): K history
+            v_s,           # VMEM scratch (L, C, KV*hd): V history
+        ) = rest
+
+        def _wdot(xv, w_ref, s_ref, l):
+            """x @ w[l] mirroring ops/quant.py::matmul (same semantics as
+            slow_step_pallas._wdot): int8 weights convert at the dot's
+            operand read, then per-output-channel rescale in act dtype."""
+            if not quantized:
+                return jnp.dot(
+                    xv, w_ref[l], preferred_element_type=jnp.float32
+                ).astype(xv.dtype)
+            y = jnp.dot(
+                xv, w_ref[l].astype(xv.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(xv.dtype)
+            return y * s_ref[l, 0, :].astype(xv.dtype)
+
         cb = pl.program_id(0)
         e_m = e_ref[...]
         r_m = r_ref[...]
@@ -187,9 +213,7 @@ def _make_kernel(cfg: DualARConfig, *, temp: float, top_p: float,
 
         for l in range(n_layers):
             hN = _rms_flat(x, an_ref[l, :], eps)
-            qkv_f = jnp.dot(
-                hN, wqkv_ref[l], preferred_element_type=jnp.float32
-            ).astype(x.dtype)  # (1, QKV) — f32 accum like XLA's bf16 dot
+            qkv_f = _wdot(hN, wqkv_ref, sqkv_ref, l)  # (1, QKV) f32-accum
             # RoPE: P only permutes qkv_f's (already rounded) values, so
             # the activation-dtype dot is exact; combine in f32 like
             # apply_rope_interleaved, round back to activation dtype.
@@ -255,20 +279,21 @@ def _make_kernel(cfg: DualARConfig, *, temp: float, top_p: float,
             # over all C positions is exact
             attn_flat = jnp.sum(w_lanes * v_aligned, axis=-1)[None, :]
             attn_flat = attn_flat.astype(x.dtype)  # (1, D)
-            x = x + jnp.dot(
-                attn_flat, wo_ref[l], preferred_element_type=jnp.float32
-            ).astype(x.dtype)
+            x = x + _wdot(attn_flat, wo_ref, so_ref, l)
             h2 = _rms_flat(x, fn_ref[l, :], eps)
-            gate = jax.nn.silu(
-                jnp.dot(h2, w1_ref[l], preferred_element_type=jnp.float32)
-            ).astype(x.dtype)
-            w3h = jnp.dot(
-                h2, w3_ref[l], preferred_element_type=jnp.float32
-            ).astype(x.dtype)
-            x = x + jnp.dot(
-                gate * w3h, w2_ref[l],
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
+            if quantized:
+                # mirror ops/quant.py::matmul + the XLA path's
+                # silu(f32-cast) ordering: silu sees the scaled bf16
+                # product (models/dual_ar.py fast_step)
+                gate = jax.nn.silu(
+                    _wdot(h2, w1_ref, s1_ref, l).astype(jnp.float32)
+                ).astype(x.dtype)
+            else:
+                gate = jax.nn.silu(
+                    jnp.dot(h2, w1_ref[l], preferred_element_type=jnp.float32)
+                ).astype(x.dtype)
+            w3h = _wdot(h2, w3_ref, s3_ref, l)
+            x = x + _wdot(gate * w3h, w2_ref, s2_ref, l)
 
         fast_out = _rms_flat(x, fnorm_ref[0, :], eps)  # (1, D)
         logits = jnp.dot(
@@ -375,6 +400,16 @@ def fused_fast_frame(
     cos_flat, sin_flat = _rope_lane_tables(cfg)
     act_dtype = hidden.dtype
 
+    fast = params["fast"]
+    quantized = isinstance(fast["wqkv"], dict)
+    if quantized:
+        wq = {k: fast[k]["q"] for k in ("wqkv", "wo", "w1", "w3", "w2")}
+        ws = {k: fast[k]["s"] for k in ("wqkv", "wo", "w1", "w3", "w2")}
+    else:
+        wq = {k: fast[k] for k in ("wqkv", "wo", "w1", "w3", "w2")}
+        ws = None
+    lay = wq["wqkv"].shape[0]
+    f_dim = wq["w1"].shape[2]
     kernel = _make_kernel(
         cfg,
         temp=sampling.temp,
@@ -382,10 +417,8 @@ def fused_fast_frame(
         top_k=sampling.top_k,
         penalty=sampling.repetition_penalty,
         rep_enabled=rep_enabled,
+        quantized=quantized,
     )
-    fast = params["fast"]
-    lay = fast["wqkv"].shape[0]
-    f_dim = fast["w1"].shape[2]
 
     # weight/constant windows: constant index maps -> fetched once,
     # resident in VMEM for the whole frame (Pallas only re-copies a
@@ -401,6 +434,16 @@ def fused_fast_frame(
         pl.BlockSpec((lay, d, f_dim), const3),          # w1
         pl.BlockSpec((lay, d, f_dim), const3),          # w3
         pl.BlockSpec((lay, f_dim, d), const3),          # w2
+    ]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((lay, 1, qkv), const3),        # wqkv scales
+            pl.BlockSpec((lay, 1, d), const3),          # wo scales
+            pl.BlockSpec((lay, 1, f_dim), const3),      # w1 scales
+            pl.BlockSpec((lay, 1, f_dim), const3),      # w3 scales
+            pl.BlockSpec((lay, 1, d), const3),          # w2 scales
+        ]
+    in_specs += [
         pl.BlockSpec((1, d), const2),                   # fast_norm
         # head: depthwise_output -> per-step column block; else constant
         pl.BlockSpec(
@@ -422,6 +465,33 @@ def fused_fast_frame(
         pl.BlockSpec((n_cb, gumbel.shape[1]), const2),     # gumbel draws
         pl.BlockSpec((1, 1), const2),                   # is_eos
     ]
+    operands = [
+        hidden,
+        fast["attention_norm"],
+        wq["wqkv"],
+        wq["wo"],
+        fast["ffn_norm"],
+        wq["w1"],
+        wq["w3"],
+        wq["w2"],
+    ]
+    if quantized:
+        operands += [ws["wqkv"], ws["wo"], ws["w1"], ws["w3"], ws["w2"]]
+    operands += [
+        params["fast_norm"][None, :],
+        params["fast_output"],
+        params["fast_embeddings"][: (
+            n_cb * cb_size if cfg.depthwise_wte else cb_size
+        )],
+        jnp.asarray(e_np, act_dtype),
+        jnp.asarray(r_np, jnp.float32),
+        jnp.asarray(p_np, act_dtype),
+        jnp.asarray(cos_flat),
+        jnp.asarray(sin_flat),
+        rp_tokens.astype(jnp.int32),
+        gumbel.astype(jnp.float32),
+        is_eos.astype(jnp.int32).reshape(1, 1),
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(n_cb,),
@@ -438,38 +508,16 @@ def fused_fast_frame(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(
-        hidden,
-        fast["attention_norm"],
-        fast["wqkv"],
-        fast["wo"],
-        fast["ffn_norm"],
-        fast["w1"],
-        fast["w3"],
-        fast["w2"],
-        params["fast_norm"][None, :],
-        params["fast_output"],
-        params["fast_embeddings"][: (
-            n_cb * cb_size if cfg.depthwise_wte else cb_size
-        )],
-        jnp.asarray(e_np, act_dtype),
-        jnp.asarray(r_np, jnp.float32),
-        jnp.asarray(p_np, act_dtype),
-        jnp.asarray(cos_flat),
-        jnp.asarray(sin_flat),
-        rp_tokens.astype(jnp.int32),
-        gumbel.astype(jnp.float32),
-        is_eos.astype(jnp.int32).reshape(1, 1),
-    )
+    )(*operands)
     return out[0]
 
 
 def fused_fast_frame_supported(cfg: DualARConfig, params, batch: int) -> bool:
-    """Static eligibility: single row, bf16/f32 (unquantized) fast stack,
-    and the flat-lane layout assumptions (even head_dim for paired RoPE)."""
+    """Static eligibility: single row and the flat-lane layout assumptions
+    (even head_dim for paired RoPE). Both bf16/f32 and int8-quantized
+    (ops/quant.py) fast stacks are supported — int8 halves the once-per-
+    frame VMEM weight fetch (~118 -> ~59 MiB for Fish 1.5)."""
     if batch != 1:
-        return False
-    if isinstance(params["fast"].get("wqkv"), dict):  # int8-quantized
         return False
     if cfg.head_dim % 2:
         return False

@@ -163,6 +163,21 @@ def test_engine_fused_matches_xla():
         np.testing.assert_array_equal(a, b)
 
 
+def test_fused_frame_int8():
+    """int8-quantized fast stack through the fused kernel matches the XLA
+    int8 codebook loop (ops/quant.py::matmul) token-for-token — the
+    kernel's per-channel rescale must mirror the dequant-at-operand-read
+    lowering, including the silu(scaled-product) ordering."""
+    from fish_speech_tpu.ops.quant import quantize_lm_params
+
+    params = _setup(CFG, seed=8)
+    qparams = quantize_lm_params(params)
+    sampling = SamplingArgs(temp=0.7, top_p=0.8, top_k=16, repetition_penalty=1.3)
+    ref, got, r, g = _frame_pair(qparams, CFG, sampling, 8)
+    np.testing.assert_array_equal(ref, got)
+    assert fused_fast_frame_supported(CFG, qparams, 1)
+
+
 def test_gating():
     params = init_dual_ar_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
     assert fused_fast_frame_supported(CFG, params, 1)
