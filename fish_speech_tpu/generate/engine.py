@@ -194,7 +194,8 @@ class LMEngine:
         )
         # Whole-step fused slow-stack kernel (ops/slow_step_pallas.py):
         # same eligibility shape as the fast-frame kernel — batch-1
-        # engines on a single device, unquantized. Logits agree with the
+        # engines on a single device (bf16/f32 or int8-quantized; int8
+        # halves the kernel's HBM weight traffic). Logits agree with the
         # XLA lowering to ~2 ulp (reduction-order), token streams are
         # checked equal in tests/test_slow_step.py.
         from fish_speech_tpu.ops.slow_step_pallas import (
