@@ -109,6 +109,7 @@ class LMEngine:
         attention_impl: str = "auto",
         fast_frame_impl: str = "auto",
         slow_impl: str = "auto",
+        prefill_impl: str = "auto",
         mesh=None,
         quantize_int8: bool = False,
         _params_preprocessed: bool = False,
@@ -218,6 +219,28 @@ class LMEngine:
         self.fused_slow_interpret = (
             self.use_fused_slow and jax.default_backend() != "tpu"
         )
+        # Flash prefill attention (ops/prefill_pallas.py): online-softmax
+        # kernel replacing the XLA prefill's HBM-resident (S, E) score
+        # tensor. Single-device engines only (the Mosaic kernel is a
+        # per-device program; sharded engines keep the XLA lowering,
+        # which GSPMD partitions fine). Per-shape eligibility (block
+        # divisibility) is decided inside slow_prefill; ineligible
+        # shapes silently fall back to the identical-semantics XLA path.
+        flash_ok = mesh is None or mesh.size == 1
+        if prefill_impl == "auto":
+            self.use_flash_prefill = (
+                flash_ok and jax.default_backend() == "tpu"
+            )
+        else:
+            self.use_flash_prefill = prefill_impl == "flash"
+            if self.use_flash_prefill and not flash_ok:
+                raise ValueError(
+                    "prefill_impl='flash' requires a single device; use "
+                    "prefill_impl='xla' on a multi-chip mesh"
+                )
+        self.flash_prefill_interpret = (
+            self.use_flash_prefill and jax.default_backend() != "tpu"
+        )
         self.token_cfg = token_cfg
         self.lm = lm
         self.batch_size = batch_size
@@ -290,6 +313,8 @@ class LMEngine:
                     0,
                     offset,
                     kv_extent=kv_extent,
+                    use_flash=self.use_flash_prefill,
+                    flash_interpret=self.flash_prefill_interpret,
                 )
                 res: FrameResult = generate_frame(
                     params,
@@ -483,6 +508,8 @@ class LMEngine:
                     row,
                     offset,
                     kv_extent=kv_extent,
+                    use_flash=self.use_flash_prefill,
+                    flash_interpret=self.flash_prefill_interpret,
                 )
                 res: FrameResult = generate_frame(
                     params,
@@ -571,6 +598,8 @@ class LMEngine:
                     row0,
                     offset,
                     kv_extent=kv_extent,
+                    use_flash=self.use_flash_prefill,
+                    flash_interpret=self.flash_prefill_interpret,
                 )
                 res: FrameResult = generate_frame(
                     params,

@@ -213,6 +213,8 @@ def _project_qkv(x, lp, cfg: DualARConfig):
 def _layer_prefill(
     x, lp, ck, cv, cos, sin, mask, slot, offset, cfg: DualARConfig,
     kv_extent: Optional[int] = None,
+    flash_seq_lens: Optional[jnp.ndarray] = None,
+    flash_interpret: bool = False,
 ):
     """One block over a contiguous row range [slot, slot+B) at seq offset.
 
@@ -250,7 +252,18 @@ def _layer_prefill(
         rows_v = rows_v[:, :, :kv_extent, :]
 
     scale = 1.0 / (cfg.head_dim**0.5)
-    attn = gqa_attention(q, rows_k, rows_v, mask, scale)
+    if flash_seq_lens is not None:
+        # Flash prefill kernel: same mask semantics computed in-kernel
+        # from (offset, seq_lens); the (S, E) score tensor never touches
+        # HBM (ops/prefill_pallas.py).
+        from fish_speech_tpu.ops.prefill_pallas import flash_prefill_attention
+
+        attn = flash_prefill_attention(
+            q, rows_k, rows_v, offset, flash_seq_lens,
+            window=cfg.max_seq_len, interpret=flash_interpret,
+        )
+    else:
+        attn = gqa_attention(q, rows_k, rows_v, mask, scale)
     x = x + _mm(attn.transpose(0, 2, 1, 3).reshape(b, s, d), lp["wo"])
 
     h2 = rms_norm(x, lp["ffn_norm"], cfg.norm_eps)
@@ -328,6 +341,8 @@ def slow_prefill(
     slot,
     offset,
     kv_extent: Optional[int] = None,
+    use_flash: bool = False,
+    flash_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
     """Prefill cache rows [slot, slot+B) with a right-padded prompt chunk.
 
@@ -351,17 +366,32 @@ def slow_prefill(
     cos, sin = _rope_slice(cfg, s_pad, offset)
 
     s_kv = kv_extent if kv_extent is not None else cache.max_len
-    q_pos = offset + jnp.arange(s_pad)[:, None]  # (S_pad, 1) absolute
-    k_pos = jnp.arange(s_kv)[None, :]  # (1, S_kv)
-    causal = (k_pos <= q_pos) & (q_pos - k_pos < cfg.max_seq_len)
-    k_valid = k_pos < (offset + seq_lens[:, None])  # (B, S_kv)
-    allowed = causal[None, :, :] & k_valid[:, None, :]
-    mask = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None, :, :]
+    from fish_speech_tpu.ops.prefill_pallas import flash_prefill_supported
+
+    flash = use_flash and flash_prefill_supported(
+        s_pad, s_kv, cfg.n_head, cfg.n_local_heads, cfg.head_dim
+    )
+    if flash:
+        # mask semantics live inside the kernel (ops/prefill_pallas.py)
+        mask = None
+        flash_lens = seq_lens
+    else:
+        q_pos = offset + jnp.arange(s_pad)[:, None]  # (S_pad, 1) absolute
+        k_pos = jnp.arange(s_kv)[None, :]  # (1, S_kv)
+        causal = (k_pos <= q_pos) & (q_pos - k_pos < cfg.max_seq_len)
+        k_valid = k_pos < (offset + seq_lens[:, None])  # (B, S_kv)
+        allowed = causal[None, :, :] & k_valid[:, None, :]
+        mask = jnp.where(allowed, 0.0, NEG_INF).astype(
+            jnp.float32
+        )[:, None, :, :]
+        flash_lens = None
 
     def layer_fn(xc, lp, ck, cv):
         return _layer_prefill(
             xc, lp, ck, cv, cos, sin, mask, slot, offset, cfg,
             kv_extent=kv_extent,
+            flash_seq_lens=flash_lens,
+            flash_interpret=flash_interpret,
         )
 
     x, cache = _scan_stack(layer_fn, params["slow"], x, cache)
