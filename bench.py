@@ -741,6 +741,113 @@ def verify_fused_kernels() -> None:
         f"vs {np.asarray(qgot.tokens)}"
     )
 
+    # -- flash prefill attention (ops/prefill_pallas.py) -------------------
+    from fish_speech_tpu.ops.attention import NEG_INF, gqa_attention
+    from fish_speech_tpu.ops.prefill_pallas import flash_prefill_attention
+
+    b, h, kvh, hd, s_q, ext, off = 2, cfg.n_head, cfg.n_local_heads, 64, 64, 128, 37
+    fq = jnp.asarray(rng.normal(size=(b, h, s_q, hd)), dt)
+    fk = jnp.asarray(rng.normal(size=(b, kvh, ext, hd)), dt)
+    fv = jnp.asarray(rng.normal(size=(b, kvh, ext, hd)), dt)
+    lens = jnp.asarray([s_q, s_q // 2], jnp.int32)
+    q_pos = off + jnp.arange(s_q)[:, None]
+    k_pos = jnp.arange(ext)[None, :]
+    allowed = (
+        (k_pos <= q_pos) & (q_pos - k_pos < cfg.max_seq_len)
+    )[None] & (k_pos < (off + lens[:, None]))[:, None, :]
+    fmask = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None]
+    fref = gqa_attention(fq, fk, fv, fmask, 1.0 / hd**0.5)
+    fgot = flash_prefill_attention(
+        fq, fk, fv, off, lens, window=cfg.max_seq_len
+    )
+    ferr = max(
+        float(
+            jnp.max(
+                jnp.abs(
+                    fref[i, :, : int(lens[i])].astype(jnp.float32)
+                    - fgot[i, :, : int(lens[i])].astype(jnp.float32)
+                )
+            )
+        )
+        for i in range(b)
+    )
+    log(f"flash prefill: max-err vs XLA (real rows) {ferr:.4f}")
+    assert ferr < 0.05, f"flash prefill divergence {ferr}"
+
+
+def bench_prefill(trials: int = 7) -> None:
+    """Prefill latency vs prompt length: XLA attention vs the flash
+    prefill kernel (ops/prefill_pallas.py), full Fish-1.5 stack on the
+    real chip. The reference prints prefill ms / prompt tokens-per-s per
+    run (single_batch.rs:238-247) but publishes nothing. Long prompts are
+    the voice-cloning case: a cloned-speaker conditioning prompt is
+    hundreds of tokens (text + ~21.5 codes/s of reference audio)."""
+    s = _setup_fish15()
+    jax, jnp = s.jax, s.jnp
+
+    from fish_speech_tpu.config import WhichLM
+    from fish_speech_tpu.generate.engine import LMEngine
+    from fish_speech_tpu.ops.sampling import SamplingArgs
+
+    buckets = (64, 256, 512, 1024)
+    sampling = SamplingArgs(temp=0.7, top_p=0.8, top_k=256, repetition_penalty=1.4)
+    engines = {}
+    for impl in ("xla", "flash"):
+        engines[impl] = LMEngine(
+            s.params, s.cfg, s.tok, WhichLM.FISH_1_5,
+            cache_len=2048, max_frames=8, dtype=jnp.bfloat16,
+            prompt_buckets=buckets, prefill_impl=impl,
+        )
+
+    results = {}
+    for n_tok in (40, 250, 500, 1000):
+        prompt = np.concatenate(
+            [
+                s.rng.integers(1000, 90000, size=(1, n_tok)),
+                np.zeros((s.cfg.num_codebooks, n_tok), np.int64),
+            ],
+            axis=0,
+        ).astype(np.int32)
+        for impl, eng in engines.items():
+            state = eng.init_state(seed=0)
+            t0 = time.perf_counter()
+            state, frame, _ = eng.prefill(state, prompt[None], sampling)
+            np.asarray(frame)
+            compile_s = time.perf_counter() - t0
+            times = []
+            for _ in range(trials):
+                state = eng.init_state(seed=0)
+                t0 = time.perf_counter()
+                state, frame, _ = eng.prefill(state, prompt[None], sampling)
+                np.asarray(frame)  # real readback (tunnel-safe timing)
+                times.append(time.perf_counter() - t0)
+            times.sort()
+            med = times[len(times) // 2]
+            results[(impl, n_tok)] = med
+            log(
+                f"prefill {n_tok:5d} tok [{impl:5s}]: median "
+                f"{med * 1000:7.1f} ms (min {times[0] * 1000:.1f}, "
+                f"compile+1st {compile_s:.1f}s, "
+                f"{n_tok / med:,.0f} tok/s)"
+            )
+
+    xla_ms = results[("xla", 1000)] * 1000
+    flash_ms = results[("flash", 1000)] * 1000
+    print(
+        json.dumps(
+            {
+                "metric": "prefill_ms_1000tok_flash",
+                "value": round(flash_ms, 1),
+                "unit": "ms_lower_is_better",
+                "vs_baseline": round(xla_ms / flash_ms, 3),
+                "xla_ms": round(xla_ms, 1),
+                "prompt_40tok_flash_ms": round(
+                    results[("flash", 40)] * 1000, 1
+                ),
+            }
+        )
+    )
+
 
 def bench_encode(trials: int = 5) -> None:
     """Voice-cloning encode path RTF (the reference prints "Encoding RTF"
@@ -869,6 +976,8 @@ if __name__ == "__main__":
         i = sys.argv.index("--continuous")
         n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 16
         bench_continuous(n)
+    elif "--prefill" in sys.argv:
+        bench_prefill()
     elif "--ttfa" in sys.argv:
         bench_ttfa()
     elif "--encode" in sys.argv:
