@@ -139,10 +139,15 @@ def main() -> None:
     frame_rate = codec_cfg.frame_rate  # 21.533 Hz
     n_frames = 128  # ~5.9 s of audio at 21.5 Hz
     int8 = "--int8" in sys.argv  # opt-in weight-only int8 (ops/quant.py)
+    # --unroll N: decode-loop body unroll A/B (defaults to the engine's
+    # "auto" policy; see engine.py decode_unroll)
+    unroll = "auto"
+    if "--unroll" in sys.argv:
+        unroll = int(sys.argv[sys.argv.index("--unroll") + 1])
     engine = LMEngine(
         s.params, cfg, tok, WhichLM.FISH_1_5,
         cache_len=2048, max_frames=n_frames, dtype=jnp.bfloat16,
-        prompt_buckets=(64,), quantize_int8=int8,
+        prompt_buckets=(64,), quantize_int8=int8, decode_unroll=unroll,
     )
     codec = FireflyCodec(s.codec_params, codec_cfg, buckets=(n_frames,))
     sampling = SamplingArgs(temp=0.7, top_p=0.8, top_k=256, repetition_penalty=1.4)

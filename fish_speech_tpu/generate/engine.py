@@ -110,6 +110,7 @@ class LMEngine:
         fast_frame_impl: str = "auto",
         slow_impl: str = "auto",
         prefill_impl: str = "auto",
+        decode_unroll="auto",
         mesh=None,
         quantize_int8: bool = False,
         _params_preprocessed: bool = False,
@@ -228,9 +229,12 @@ class LMEngine:
         # shapes silently fall back to the identical-semantics XLA path.
         flash_ok = mesh is None or mesh.size == 1
         if prefill_impl == "auto":
-            self.use_flash_prefill = (
-                flash_ok and jax.default_backend() == "tpu"
-            )
+            # Default OFF until the kernel has compiled+verified on the
+            # real Mosaic toolchain (the fused decode kernels have; this
+            # one landed during a tunnel outage — run `bench.py --verify`
+            # / `--prefill` on hardware, then flip auto to flash). The
+            # XLA prefill is the proven identical-semantics path.
+            self.use_flash_prefill = False
         else:
             self.use_flash_prefill = prefill_impl == "flash"
             if self.use_flash_prefill and not flash_ok:
@@ -241,6 +245,25 @@ class LMEngine:
         self.flash_prefill_interpret = (
             self.use_flash_prefill and jax.default_backend() != "tpu"
         )
+        # Decode-loop body unroll: N frames per `lax.while_loop` iteration.
+        # The deploy platform (remote axon tunnel) pays a ~0.3 ms fixed
+        # cost PER LOOP ITERATION regardless of body size (measured,
+        # docs/TPU_NOTES.md #11), so folding N frames into one iteration
+        # reclaims (N-1)/N of that floor; on directly-attached hardware
+        # the same program is neutral. Semantics are exact for any
+        # max_steps: tail sub-steps past max_steps write nothing to
+        # out/valid and their frames are discarded (see _get_decode_loop).
+        # Carried-state REPEATED decode (the batcher / streaming pipeline)
+        # should use horizons divisible by the unroll so the carried
+        # position never runs ahead of the reported frames — all in-repo
+        # horizons (4, 16) are; one-shot generate() overshoot is discarded
+        # by the rewind that precedes any continuation.
+        if decode_unroll == "auto":
+            # default pending the on-hardware A/B (flip to 4 once measured)
+            self.decode_unroll = 1
+        else:
+            self.decode_unroll = int(decode_unroll)
+            assert self.decode_unroll >= 1
         self.token_cfg = token_cfg
         self.lm = lm
         self.batch_size = batch_size
@@ -413,10 +436,20 @@ class LMEngine:
     ):
         """Jitted multi-frame decode. `horizon` caps the output buffer
         (defaults to max_frames); the continuous batcher uses short
-        horizons so it can admit new requests between chunks."""
+        horizons so it can admit new requests between chunks.
+
+        The while body runs `self.decode_unroll` frames per iteration
+        (the deploy platform charges a fixed ~0.3 ms per loop ITERATION —
+        TPU_NOTES #11). Tail sub-steps whose index reaches max_steps
+        still execute (trip count stays data-independent) but their
+        out/valid writes are masked and `steps` is clamped to max_steps,
+        so reported frames are identical to the unroll=1 loop for ANY
+        max_steps; only the DISCARDED carry may sit up to unroll-1 frames
+        ahead when max_steps is not a multiple (see ctor comment)."""
         key = (sampling, collect_hidden, horizon)
         if key not in self._decode_jit:
             cap = horizon or self.max_frames
+            unroll = self.decode_unroll
 
             @partial(jax.jit, donate_argnums=(1,))
             def decode_loop(params, state: GenState, max_steps):
@@ -438,29 +471,61 @@ class LMEngine:
 
                 def body(carry):
                     state, out, valid, hid, step = carry
-                    was_done = state.done
-                    state, frame, hidden = self._decode_body(
-                        params, sampling, state
-                    )
-                    out = jax.lax.dynamic_update_slice(
-                        out, frame[None], (step, 0, 0)
-                    )
-                    ok = ~was_done & (frame[:, 0] != self.token_cfg.im_end_id)
-                    valid = jax.lax.dynamic_update_slice(
-                        valid, ok[None], (step, 0)
-                    )
-                    if collect_hidden:
-                        hid = jax.lax.dynamic_update_slice(
-                            hid,
-                            hidden.astype(jnp.float32)[None],
-                            (step, 0, 0),
+                    for k in range(unroll):
+                        was_done = state.done
+                        state, frame, hidden = self._decode_body(
+                            params, sampling, state
                         )
-                    return state, out, valid, hid, step + 1
+                        ok = ~was_done & (
+                            frame[:, 0] != self.token_cfg.im_end_id
+                        )
+                        if k == 0:
+                            # cond guarantees step < max_steps <= cap
+                            idx = step
+                            keep = None
+                        else:
+                            # tail sub-step may land past max_steps: clamp
+                            # the index into the buffer and write back the
+                            # CURRENT contents so nothing real is clobbered
+                            idx = jnp.minimum(step + k, cap - 1)
+                            keep = (step + k) < max_steps
+                        fr = frame[None]
+                        okr = ok[None]
+                        hr = (
+                            hidden.astype(jnp.float32)[None]
+                            if collect_hidden
+                            else None
+                        )
+                        if keep is not None:
+                            cur = jax.lax.dynamic_slice(
+                                out, (idx, 0, 0), (1, b, c + 1)
+                            )
+                            fr = jnp.where(keep, fr, cur)
+                            curv = jax.lax.dynamic_slice(
+                                valid, (idx, 0), (1, b)
+                            )
+                            okr = jnp.where(keep, okr, curv)
+                            if collect_hidden:
+                                curh = jax.lax.dynamic_slice(
+                                    hid, (idx, 0, 0), (1, b, self.cfg.dim)
+                                )
+                                hr = jnp.where(keep, hr, curh)
+                        out = jax.lax.dynamic_update_slice(
+                            out, fr, (idx, 0, 0)
+                        )
+                        valid = jax.lax.dynamic_update_slice(
+                            valid, okr, (idx, 0)
+                        )
+                        if collect_hidden:
+                            hid = jax.lax.dynamic_update_slice(
+                                hid, hr, (idx, 0, 0)
+                            )
+                    return state, out, valid, hid, step + unroll
 
                 state, out, valid, hid, step = jax.lax.while_loop(
                     cond, body, (state, out, valid, hid, jnp.int32(0))
                 )
-                return state, out, valid, hid, step
+                return state, out, valid, hid, jnp.minimum(step, max_steps)
 
             self._decode_jit[key] = decode_loop
         params = self.params
