@@ -130,6 +130,10 @@ def main() -> None:
             sampling=sampling,
             state=state,
             conditioning_offset=offset,
+            # sync after prefill so the printed prefill/decode split is
+            # real phase time (reference prints it per run,
+            # single_batch.rs:238-247); serving paths skip the sync
+            profile=True,
         )
         if i == 0:
             cond_len = n_cond

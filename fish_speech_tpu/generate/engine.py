@@ -814,6 +814,7 @@ class LMEngine:
         conditioning_offset: int = 0,
         seed: Optional[int] = None,
         collect_hidden: bool = False,
+        profile: bool = False,
     ) -> Tuple[GenerationResult, GenState]:
         """Blocking generation for a single prompt (batch-1 engine).
 
@@ -821,6 +822,15 @@ class LMEngine:
         produced by text.prompt.PromptEncoder. Returns codebook-row tokens
         shaped (C, T), mirroring `generate_blocking`
         (reference: single_batch.rs:217-324).
+
+        profile=False (default): the decode loop is dispatched right
+        behind the prefill with NO host sync between them — the chip runs
+        both back-to-back and ONE batched fetch at the end collects
+        everything (a mid-path first-frame fetch costs a full round trip,
+        ~30 ms through the remote tunnel, per generation). prefill_s then
+        measures dispatch only; pass profile=True (the CLI does, for the
+        reference-parity timing print) to sync after prefill and get the
+        true phase split at the cost of that round trip.
         """
         assert self.batch_size == 1, "generate() drives batch-1 engines"
         sampling = sampling or SamplingArgs()
@@ -833,7 +843,8 @@ class LMEngine:
         state, first_frame, first_eos, first_hidden = self._prefill_raw(
             state, prompt, sampling, offset=conditioning_offset
         )
-        first_frame = np.asarray(first_frame)
+        if profile:
+            first_frame = np.asarray(first_frame)
         prefill_s = time.perf_counter() - t0
 
         budget = min(
@@ -848,8 +859,8 @@ class LMEngine:
         # ONE batched device->host fetch: per-array np.asarray costs a
         # full round trip each, which at remote-device latencies dominates
         # short generations.
-        out, valid, steps, done_host = jax.device_get(
-            (out, valid, steps, state.done)
+        out, valid, steps, done_host, first_frame = jax.device_get(
+            (out, valid, steps, state.done, first_frame)
         )
         steps = int(steps)
         decode_s = time.perf_counter() - t1
@@ -923,7 +934,8 @@ class LMEngine:
         state, first_frame, first_eos, _hid = self._prefill_raw(
             state, stacked, sampling, seq_lens=lens
         )
-        first_frame = np.asarray(first_frame)
+        # no mid-path sync: the decode loop is dispatched behind the
+        # prefill and ONE batched fetch collects everything (see generate)
         prefill_s = time.perf_counter() - t0
 
         budget = min(
@@ -935,8 +947,8 @@ class LMEngine:
         state, out, valid, _hidbuf, steps = self._get_decode_loop(sampling)(
             state, jnp.int32(max(budget, 0))
         )
-        out, valid, steps, done = jax.device_get(
-            (out, valid, steps, state.done)
+        out, valid, steps, done, first_frame = jax.device_get(
+            (out, valid, steps, state.done, first_frame)
         )
         steps = int(steps)
         decode_s = time.perf_counter() - t1
