@@ -73,16 +73,18 @@ def _perm_heads(w: np.ndarray, n_heads: int, hd: int) -> np.ndarray:
     return w[:, full]
 
 
-def _build_llama(params, permute_rope: bool = True):
+def _build_llama(params, permute_rope: bool = True, which: str = "slow"):
     from transformers import LlamaConfig
     from transformers.models.llama.modeling_llama import LlamaModel
 
     h, kv, hd = CFG.n_head, CFG.n_local_heads, CFG.head_dim
+    n_layers = CFG.n_layer if which == "slow" else CFG.n_fast_layer
+    final_norm = params["norm"] if which == "slow" else params["fast_norm"]
     lcfg = LlamaConfig(
         vocab_size=8,  # unused: we feed inputs_embeds
         hidden_size=CFG.dim,
         intermediate_size=CFG.intermediate_size,
-        num_hidden_layers=CFG.n_layer,
+        num_hidden_layers=n_layers,
         num_attention_heads=h,
         num_key_value_heads=kv,
         head_dim=hd,
@@ -95,7 +97,7 @@ def _build_llama(params, permute_rope: bool = True):
     )
     model = LlamaModel(lcfg)
     model.eval()
-    slow = jax.tree.map(lambda a: np.asarray(a, np.float64), params["slow"])
+    slow = jax.tree.map(lambda a: np.asarray(a, np.float64), params[which])
     q_sz, kv_sz = h * hd, kv * hd
 
     def t(x):
@@ -119,7 +121,7 @@ def _build_llama(params, permute_rope: bool = True):
             layer.mlp.gate_proj.weight.copy_(t(slow["w1"][l].T))
             layer.mlp.up_proj.weight.copy_(t(slow["w3"][l].T))
             layer.mlp.down_proj.weight.copy_(t(slow["w2"][l].T))
-        model.norm.weight.copy_(t(np.asarray(params["norm"], np.float64)))
+        model.norm.weight.copy_(t(np.asarray(final_norm, np.float64)))
     return model
 
 
@@ -185,6 +187,47 @@ def test_permutation_is_load_bearing():
     ours = _run_ours(params, x)
     theirs = _run_llama(_build_llama(params, permute_rope=False), x)
     assert np.max(np.abs(ours - theirs)) > 1e-3
+
+
+def test_fast_stack_matches_llama_model():
+    """The fast (codebook) transformer steps one position at a time with
+    a concat-grown KV history and RoPE indexed by codebook position
+    (dual_ar.rs:638-673) — architecturally the same llama stack. Running
+    our incremental fast_step over a sequence of embeddings must equal
+    LlamaModel's one-shot causal prefill on the same (permuted) weights:
+    this independently validates the QKV split, RoPE pairing, GQA
+    grouping AND the incremental-history equivalence of the fast path.
+    fast_output is set to the identity so fast_step's logits ARE the
+    post-norm hidden states LlamaModel returns."""
+    import dataclasses
+
+    from fish_speech_tpu.models.dual_ar import fast_hist_init, fast_step
+
+    params = dict(
+        init_dual_ar_params(jax.random.PRNGKey(5), CFG, dtype=jnp.float32)
+    )
+    params["fast_output"] = jnp.eye(CFG.dim, dtype=jnp.float32)
+    cfg = dataclasses.replace(CFG, depthwise_output=False)
+    n_pos = cfg.num_codebooks  # the fast axis never exceeds this
+    x = (
+        np.random.default_rng(19)
+        .normal(size=(1, n_pos, cfg.dim))
+        .astype(np.float32)
+        * 0.5
+    )
+    hist = fast_hist_init(cfg, 1, jnp.float32)
+    ours = []
+    for i in range(n_pos):
+        logits, hist = fast_step(
+            params, cfg, jnp.asarray(x[:, i : i + 1, :]), hist, i
+        )
+        ours.append(np.asarray(logits)[0])
+    ours = np.stack(ours)  # (n_pos, D) post-norm hidden per position
+
+    theirs = _run_llama(_build_llama(params, which="fast"), x)[0]
+    err = np.max(np.abs(ours - theirs))
+    scale = np.maximum(np.max(np.abs(theirs)), 1.0)
+    assert err / scale < 2e-5, f"fast stack diverges from LlamaModel: {err}"
 
 
 def test_matches_llama_longer_sequence_and_other_seed():
