@@ -127,6 +127,16 @@ def _setup_fish15():
 
 
 def main() -> None:
+    # --unroll N: decode-loop body unroll A/B (defaults to the engine's
+    # "auto" policy). Parsed FIRST so a malformed flag fails before the
+    # multi-minute setup.
+    unroll = "auto"
+    if "--unroll" in sys.argv:
+        try:
+            unroll = int(sys.argv[sys.argv.index("--unroll") + 1])
+        except (IndexError, ValueError):
+            raise SystemExit("usage: bench.py --unroll N (N an integer)")
+
     s = _setup_fish15()
     jax, jnp = s.jax, s.jnp
     cfg, tok, codec_cfg = s.cfg, s.tok, s.codec_cfg
@@ -139,11 +149,6 @@ def main() -> None:
     frame_rate = codec_cfg.frame_rate  # 21.533 Hz
     n_frames = 128  # ~5.9 s of audio at 21.5 Hz
     int8 = "--int8" in sys.argv  # opt-in weight-only int8 (ops/quant.py)
-    # --unroll N: decode-loop body unroll A/B (defaults to the engine's
-    # "auto" policy; see engine.py decode_unroll)
-    unroll = "auto"
-    if "--unroll" in sys.argv:
-        unroll = int(sys.argv[sys.argv.index("--unroll") + 1])
     engine = LMEngine(
         s.params, cfg, tok, WhichLM.FISH_1_5,
         cache_len=2048, max_frames=n_frames, dtype=jnp.bfloat16,

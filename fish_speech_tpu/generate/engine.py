@@ -442,10 +442,16 @@ class LMEngine:
         (the deploy platform charges a fixed ~0.3 ms per loop ITERATION —
         TPU_NOTES #11). Tail sub-steps whose index reaches max_steps
         still execute (trip count stays data-independent) but their
-        out/valid writes are masked and `steps` is clamped to max_steps,
-        so reported frames are identical to the unroll=1 loop for ANY
-        max_steps; only the DISCARDED carry may sit up to unroll-1 frames
-        ahead when max_steps is not a multiple (see ctor comment)."""
+        out/valid writes are masked, their EOS cannot leak into the
+        reported done flags, and `steps` is clamped to max_steps — so
+        the REPORTED stream (valid flags + frames at valid rows, done,
+        hit_max) is identical to the unroll=1 loop for ANY max_steps.
+        Two documented deltas: `steps` may group-round up to unroll-1
+        past an in-range EOS (the trailing rows are valid=False EOS
+        padding — consume via `valid`, as every in-repo caller does),
+        and the DISCARDED carry may sit up to unroll-1 frames ahead when
+        max_steps is not a multiple (ctor comment; decode_chunk asserts
+        divisibility so carried-state streams can never hit it)."""
         key = (sampling, collect_hidden, horizon)
         if key not in self._decode_jit:
             cap = horizon or self.max_frames
@@ -489,6 +495,15 @@ class LMEngine:
                             # CURRENT contents so nothing real is clobbered
                             idx = jnp.minimum(step + k, cap - 1)
                             keep = (step + k) < max_steps
+                            # A DISCARDED tail sub-step's EOS must not leak
+                            # into the done flags the caller reads
+                            # (hit_max / batcher finish logic) — the
+                            # single-step loop would never have run it.
+                            # pos/cache/rng advances are harmless (any
+                            # continuation rewinds), but done is reported.
+                            state = state._replace(
+                                done=jnp.where(keep, state.done, was_done)
+                            )
                         fr = frame[None]
                         okr = ok[None]
                         hr = (
@@ -738,7 +753,16 @@ class LMEngine:
         horizon: int,
     ):
         """Run up to `horizon` decode frames for the whole batch.
-        Returns (state, out (horizon, B, C+1), valid (horizon, B), steps)."""
+        Returns (state, out (horizon, B, C+1), valid (horizon, B), steps).
+
+        Carried-state REPEATED decode requires the horizon to be a
+        multiple of decode_unroll: a non-multiple would let the unrolled
+        loop's discarded tail sub-steps advance the carry past the
+        reported frames, silently dropping them from the stream."""
+        assert horizon % self.decode_unroll == 0, (
+            f"decode_chunk horizon {horizon} must be a multiple of "
+            f"decode_unroll={self.decode_unroll}"
+        )
         state, out, valid, _hid, steps = self._get_decode_loop(
             sampling, horizon=horizon
         )(state, jnp.int32(horizon))
@@ -859,8 +883,11 @@ class LMEngine:
         # ONE batched device->host fetch: per-array np.asarray costs a
         # full round trip each, which at remote-device latencies dominates
         # short generations.
-        out, valid, steps, done_host, first_frame = jax.device_get(
-            (out, valid, steps, state.done, first_frame)
+        out, valid, steps, done_host, first_frame, hid, first_hidden = (
+            jax.device_get(
+                (out, valid, steps, state.done, first_frame, hid,
+                 first_hidden)
+            )
         )
         steps = int(steps)
         decode_s = time.perf_counter() - t1
@@ -878,7 +905,6 @@ class LMEngine:
 
         hidden = None
         if collect_hidden:
-            hid = np.asarray(hid)
             hidden = np.concatenate(
                 [np.asarray(first_hidden, np.float32)[0][None], hid[kept, 0]],
                 axis=0,

@@ -38,12 +38,18 @@ def setup_compilation_cache(
     # pollutes the cache with host-specific AOT artifacts.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     if seed_dir is None:
-        seed_dir = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))),
-            "cache_seed",
+        # FISH_TPU_SEED_DIR="" disables seeding (scripts/regen_cache_seed.py
+        # uses it so its cold run recompiles EVERY program and the fresh
+        # entry set is complete)
+        seed_dir = os.environ.get(
+            "FISH_TPU_SEED_DIR",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))),
+                "cache_seed",
+            ),
         )
-    if os.path.isdir(seed_dir):
+    if seed_dir and os.path.isdir(seed_dir):
         copied = 0
         for root, _dirs, files in os.walk(seed_dir):
             rel = os.path.relpath(root, seed_dir)

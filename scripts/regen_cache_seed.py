@@ -30,25 +30,38 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CACHE = os.environ.get("FISH_TPU_CACHE_DIR", "/root/.cache/jax_fishtpu")
+sys.path.insert(0, REPO)
+from fish_speech_tpu.utils.cache import DEFAULT_CACHE_DIR  # noqa: E402
+
+CACHE = os.environ.get("FISH_TPU_CACHE_DIR", DEFAULT_CACHE_DIR)
 SEED_DIR = os.path.join(REPO, "cache_seed")
 # the five bench-path programs worth committing (see cache_seed/README.md)
 PREFIXES = ("jit_build-", "jit_prefill_fn-", "jit_decode_loop-",
             "jit__decode_fn-")
 
 
-def _run_bench() -> str:
+def _run_bench(no_seed: bool = False) -> str:
+    env = dict(os.environ)
+    if no_seed:
+        # disable the cache_seed pre-copy so EVERY program recompiles and
+        # the fresh-entry set below is complete (a partial fresh set
+        # cannot distinguish a still-valid hit seed from a stale one)
+        env["FISH_TPU_SEED_DIR"] = ""
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        cwd=REPO, capture_output=True, text=True, timeout=3600,
+        cwd=REPO, capture_output=True, text=True, timeout=3600, env=env,
     )
     wall = time.time() - t0
     sys.stdout.write(proc.stdout[-2000:])
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr[-4000:])
         raise SystemExit(f"bench.py failed (rc={proc.returncode})")
-    m = re.search(r"warmup LM \(compile\): ([0-9.]+)s", proc.stdout)
+    # bench's log() lines (incl. the warmup split) go to stderr; only the
+    # JSON result line is on stdout
+    m = re.search(
+        r"warmup LM \(compile\): ([0-9.]+)s", proc.stderr + proc.stdout
+    )
     warm = m.group(1) if m else "?"
     print(f"-- bench wall {wall:.0f}s, LM warmup {warm}s")
     return proc.stdout
@@ -61,10 +74,10 @@ def main() -> None:
         print(f"-- moving {CACHE} -> {bak}")
         shutil.move(CACHE, bak)
 
-    print("-- cold bench run (fresh default-path cache; the committed "
-          "seed still pre-copies, stale keys are ignored) ...")
+    print("-- cold bench run (fresh default-path cache, seed pre-copy "
+          "DISABLED so every program recompiles) ...")
     t_start = time.time()
-    _run_bench()
+    _run_bench(no_seed=True)
 
     fresh = []
     for f in os.listdir(CACHE):
@@ -75,16 +88,22 @@ def main() -> None:
             fresh.append(f)
     if not fresh:
         raise SystemExit(
-            "no fresh cache entries written — did every program hit the "
-            "(supposedly stale) committed seed? Nothing to regenerate."
+            "no fresh cache entries written — seeding was disabled, so "
+            "the bench run should have recompiled everything; check that "
+            "jax_persistent_cache_min_compile_time_secs didn't filter the "
+            "programs or that the run really used this cache dir."
         )
 
+    # Drop stale same-prefix entries FIRST, as a set-difference against
+    # ALL fresh names: several fresh entries legitimately share a prefix
+    # (two jit_build-* programs: LM init + codec init) and a per-file
+    # "delete every sibling" loop would delete fresh seeds it just wrote.
+    fresh_set = set(fresh)
+    for old in os.listdir(SEED_DIR):
+        if any(old.startswith(p) for p in PREFIXES) and old not in fresh_set:
+            os.remove(os.path.join(SEED_DIR, old))
+            print(f"-- dropped stale seed {old}")
     for f in sorted(fresh):
-        pre = next(p for p in PREFIXES if f.startswith(p))
-        for old in os.listdir(SEED_DIR):
-            if old.startswith(pre) and old != f:
-                os.remove(os.path.join(SEED_DIR, old))
-                print(f"-- dropped stale seed {old}")
         shutil.copy2(os.path.join(CACHE, f), os.path.join(SEED_DIR, f))
         sz = os.path.getsize(os.path.join(SEED_DIR, f)) // 1024
         print(f"-- seeded {f} ({sz} KiB)")

@@ -93,9 +93,14 @@ def test_decode_chunk_carried_state():
         outs = [np.asarray(frame)]
         for _ in range(3):
             state, out, valid, steps = eng.decode_chunk(state, SAMPLING, 4)
-            outs.append(np.asarray(out))
-            outs.append(np.asarray(valid))
-            outs.append(np.asarray(steps))
+            out, valid = np.asarray(out), np.asarray(valid)
+            # compare the REPORTED stream: valid flags and the frames at
+            # valid rows (invalid rows differ by design: the single-step
+            # loop exits at EOS and leaves buffer zeros, the unrolled
+            # loop pads its group with EOS frames; `steps` likewise may
+            # group-round past an EOS — callers consume via `valid`)
+            outs.append(valid)
+            outs.append(out * valid[:, :, None])
         outs.append(np.asarray(state.pos))
         outs.append(np.asarray(state.prev))
         outs.append(np.asarray(state.done))
@@ -105,17 +110,45 @@ def test_decode_chunk_carried_state():
         np.testing.assert_array_equal(a, b)
 
 
-def test_eos_inside_group():
-    """A row whose done flag is set mid-generation: the unrolled group's
-    remaining sub-steps emit nothing visible. Seed the loop from a state
-    with done already true — the loop must exit immediately and report
-    steps=0 with no valid frames (cond short-circuits before any group)."""
+def test_already_done_state():
+    """Seeding the loop from a state with done already true: the loop
+    must exit immediately and report no valid frames."""
     eng = _engine(4)
     state = eng.init_state(seed=1)
     state, _, _ = eng.prefill(state, _prompt(2)[None], SAMPLING)
     state = state._replace(done=jnp.ones((1,), bool))
     state, out, valid, steps = eng.decode_chunk(state, SAMPLING, 8)
     assert int(steps) == 0 or not np.asarray(valid)[: int(steps)].any()
+
+
+def test_eos_mid_group_matches_single_step():
+    """An EOS sampled at a NON-boundary sub-step (step % unroll != 0):
+    reported tokens/frames/hit_max must still match unroll=1 — this is
+    exactly where the group's remaining padding sub-steps and the
+    done-flag handling could diverge. The seed is found by searching the
+    unroll=1 engine for a generation whose natural EOS lands mid-group
+    and strictly inside the budget."""
+    eng1 = _engine(1)
+    max_new = 17  # budget 16, a multiple of 4: EOS is the only early exit
+    hit = None
+    for seed in range(60):
+        res, _ = eng1.generate(
+            _prompt(seed), max_new_tokens=max_new, sampling=SAMPLING,
+            seed=seed,
+        )
+        s_eos = res.frames - 1  # EOS step index when it fired early
+        if not res.hit_max and 0 < s_eos < max_new - 1 and s_eos % 4:
+            hit = (seed, res)
+            break
+    assert hit is not None, "no mid-group EOS found in 60 seeds"
+    seed, a = hit
+    b, _ = _engine(4).generate(
+        _prompt(seed), max_new_tokens=max_new, sampling=SAMPLING, seed=seed
+    )
+    np.testing.assert_array_equal(a.semantic, b.semantic)
+    np.testing.assert_array_equal(a.tokens, b.tokens)
+    assert a.frames == b.frames
+    assert a.hit_max == b.hit_max
 
 
 def test_batch_rows_finish_staggered():
@@ -132,7 +165,8 @@ def test_batch_rows_finish_staggered():
         return np.asarray(out), np.asarray(valid), int(steps)
 
     (o1, v1, s1), (o4, v4, s4) = run(1), run(4)
-    assert s1 == s4
+    # `steps` may group-round past an EOS (callers consume via `valid`)
+    assert s1 <= s4 <= s1 + 3
     np.testing.assert_array_equal(v1, v4)
     assert not v4[:, 1].any()
     # row 0's reported frames agree wherever valid
@@ -154,19 +188,15 @@ def test_collect_hidden_matches():
     np.testing.assert_allclose(a.hidden, b.hidden, rtol=0, atol=0)
 
 
-def test_odd_horizon_overshoot_is_invisible():
-    """decode_chunk with a horizon NOT divisible by the unroll: reported
-    out/valid/steps still match unroll=1 exactly (the carry may sit ahead
-    — documented — but nothing visible differs in one chunk)."""
-
-    def run(unroll):
-        eng = _engine(unroll)
-        state = eng.init_state(seed=5)
-        state, _, _ = eng.prefill(state, _prompt(9)[None], SAMPLING)
-        state, out, valid, steps = eng.decode_chunk(state, SAMPLING, 6)
-        return np.asarray(out), np.asarray(valid), int(steps)
-
-    (o1, v1, s1), (o4, v4, s4) = run(1), run(4)
-    assert s1 == s4 == 6
-    np.testing.assert_array_equal(v1, v4)
-    np.testing.assert_array_equal(o1[:6], o4[:6])
+def test_indivisible_horizon_rejected():
+    """decode_chunk enforces horizon % decode_unroll == 0: a violating
+    horizon would let the unrolled loop's discarded tail advance the
+    carried state past the reported frames — silently dropped audio in a
+    repeated-chunk stream — so it must fail fast instead."""
+    eng = _engine(4)
+    state = eng.init_state(seed=5)
+    state, _, _ = eng.prefill(state, _prompt(9)[None], SAMPLING)
+    with pytest.raises(AssertionError, match="multiple of"):
+        eng.decode_chunk(state, SAMPLING, 6)
+    # divisible horizons pass
+    eng.decode_chunk(state, SAMPLING, 8)
