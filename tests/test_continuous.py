@@ -263,6 +263,42 @@ def test_batcher_matches_serial_argmax():
     np.testing.assert_array_equal(chunks[0].tokens, ref.tokens)
 
 
+def test_batcher_with_unrolled_decode_matches_serial():
+    """The serving path with decode_unroll=4 (the planned TPU default):
+    batcher chunks through the unrolled loop must equal the serial
+    unroll=1 engine token-for-token, including admission (admit_horizon)
+    and multi-chunk re-admission — the carried batcher state crosses
+    unrolled-group boundaries every tick."""
+    params = init_dual_ar_params(jax.random.PRNGKey(5), CFG, dtype=jnp.float32)
+    sampling = SamplingArgs(temp=0.0)
+    prompts = [make_prompt(7), make_prompt(8)]
+
+    serial = LMEngine(
+        params, CFG, TOK, WhichLM.FISH_1_5,
+        cache_len=64, max_frames=16, dtype=jnp.float32, prompt_buckets=(16,),
+    )
+    refs = [
+        serial.generate(p, max_new_tokens=12, sampling=sampling, seed=0)[0]
+        for p in prompts
+    ]
+
+    beng = LMEngine(
+        params, CFG, TOK, WhichLM.FISH_1_5,
+        batch_size=2, cache_len=64, max_frames=16,
+        dtype=jnp.float32, prompt_buckets=(16,), decode_unroll=4,
+    )
+    b = ContinuousBatcher(beng, sampling, horizon=8, admit_horizon=4)
+    try:
+        reqs = [b.submit([p], cond_len=0, max_new=12) for p in prompts]
+        outs = [[c for c in r] for r in reqs]
+    finally:
+        b.shutdown()
+    for ref, chunks in zip(refs, outs):
+        assert len(chunks) == 1
+        np.testing.assert_array_equal(chunks[0].semantic, ref.semantic)
+        np.testing.assert_array_equal(chunks[0].tokens, ref.tokens)
+
+
 def test_shutdown_releases_waiting_clients():
     """Clean shutdown must unblock clients still waiting for chunks
     (both in-flight rows and never-admitted queued requests) instead of
