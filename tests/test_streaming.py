@@ -77,6 +77,46 @@ def test_lowlatency_stream_matches_blocking():
     np.testing.assert_allclose(streamed, blocking, atol=2e-3, rtol=1e-2)
 
 
+def test_lowlatency_stream_with_unrolled_decode():
+    """The low-latency streaming path through an unroll-4 engine
+    (frame_chunk=4 = one unrolled group per chunk, plus the speculative
+    chunk-ahead dispatch) must equal the unroll=1 stream sample-exactly:
+    pins the streaming serving surface before the TPU default flips."""
+    from tests.test_server import DummyTokenizer, LM_CFG, TOK
+    from fish_speech_tpu.config import WhichLM
+    from fish_speech_tpu.generate.engine import LMEngine
+    from fish_speech_tpu.models.dual_ar import init_dual_ar_params
+    from fish_speech_tpu.pipeline import TTSPipeline
+
+    params = init_dual_ar_params(jax.random.PRNGKey(0), LM_CFG, dtype=jnp.float32)
+    params["output"] = params["output"].at[:, TOK.im_end_id].multiply(50.0)
+    codec_params = init_firefly_params(jax.random.PRNGKey(1), CODEC_CFG)
+    sampling = SamplingArgs(temp=0.0)
+
+    def run(unroll):
+        engine = LMEngine(
+            params, LM_CFG, TOK, WhichLM.FISH_1_5,
+            cache_len=128, max_frames=16, dtype=jnp.float32,
+            prompt_buckets=(64, 128), decode_unroll=unroll,
+        )
+        codec = FireflyCodec(codec_params, CODEC_CFG, buckets=(8, 16, 32))
+        pipe = TTSPipeline(
+            engine, codec, DummyTokenizer(), WhichLM.FISH_1_5,
+            max_new_tokens=10,
+        )
+        return np.concatenate(
+            list(
+                pipe.synthesize_streaming_lowlatency(
+                    "Hello there world.", frame_chunk=4,
+                    sampling=sampling, seed=0,
+                )
+            )
+        )
+
+    a, b = run(1), run(4)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_lowlatency_fallback_full_prefix_decode_matches_blocking(monkeypatch):
     """The non-streamable-codec fallback (Fish 1.2's non-causal convs has
     can_stream=False) re-decodes the whole prefix and emits the new
