@@ -175,6 +175,28 @@ def test_batch_rows_finish_staggered():
     )
 
 
+def test_int8_engine_matches_single_step():
+    """quantize_int8 engines (the bench --int8 --unroll combo) must be
+    unroll-invariant too — the int8 matmul path flows through the same
+    _decode_body, but pin the combination."""
+
+    def run(unroll):
+        eng = LMEngine(
+            PARAMS, CFG, TOK, WhichLM.FISH_1_5,
+            batch_size=1, cache_len=64, max_frames=24,
+            dtype=jnp.float32, prompt_buckets=(16,),
+            decode_unroll=unroll, quantize_int8=True,
+        )
+        res, _ = eng.generate(
+            _prompt(3), max_new_tokens=8, sampling=SAMPLING, seed=7
+        )
+        return res
+
+    a, b = run(1), run(4)
+    np.testing.assert_array_equal(a.semantic, b.semantic)
+    np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
 def test_collect_hidden_matches():
     def run(unroll):
         res, _ = _engine(unroll).generate(
