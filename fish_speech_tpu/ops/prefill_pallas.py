@@ -62,7 +62,11 @@ def _kernel(off_ref, lens_ref, q_ref, k_ref, v_ref, out_ref,
     prefetch per-row real lengths; q_ref: (1, 1, sq_blk, hd);
     k_ref/v_ref: (1, 1, e_blk, hd); out_ref: (1, 1, sq_blk, hd).
     Scratch (persist across the innermost e sweep): m_s/l_s
-    (sq_blk, 1) f32 running max / normalizer, acc_s (sq_blk, hd) f32.
+    (sq_blk, 128) f32 running max / normalizer — logically per-query
+    scalars, stored lane-replicated because 128 lanes is the Mosaic
+    vreg minor dim (the layout jax's own TPU flash kernels use for
+    these accumulators; a 1-lane VMEM ref risks unsupported-relayout
+    compile errors) — and acc_s (sq_blk, hd) f32.
     """
     b_i = pl.program_id(0)
     q_i = pl.program_id(3)
@@ -106,7 +110,7 @@ def _kernel(off_ref, lens_ref, q_ref, k_ref, v_ref, out_ref,
         )
         scores = jnp.where(allowed, scores, NEG_INF)
 
-        m_prev = m_s[...]  # (sq_blk, 1)
+        m_prev = m_s[...][:, :1]  # (sq_blk, 1) from lane-replicated store
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)  # (sq_blk, 1)
         w = jnp.exp(scores - m_new)  # (sq_blk, e_blk) f32
@@ -115,8 +119,10 @@ def _kernel(off_ref, lens_ref, q_ref, k_ref, v_ref, out_ref,
         pv = jnp.dot(
             w.astype(v.dtype), v, preferred_element_type=jnp.float32
         )  # (sq_blk, hd)
-        m_s[...] = m_new
-        l_s[...] = l_s[...] * alpha + jnp.sum(w, axis=-1, keepdims=True)
+        lanes = m_s.shape[-1]
+        m_s[...] = jnp.broadcast_to(m_new, (m_new.shape[0], lanes))
+        l_new = l_s[...][:, :1] * alpha + jnp.sum(w, axis=-1, keepdims=True)
+        l_s[...] = jnp.broadcast_to(l_new, (l_new.shape[0], lanes))
         acc_s[...] = acc_s[...] * alpha + pv
 
     @pl.when(e_i == n_e - 1)
@@ -125,7 +131,7 @@ def _kernel(off_ref, lens_ref, q_ref, k_ref, v_ref, out_ref,
         # rows (possible only in the discarded right-pad region when every
         # key is NEG_INF) still have l = sum of exp(score - m) = e_count
         # terms of 1.0 at the running max, so no division guard is needed.
-        out_ref[0, 0] = (acc_s[...] / l_s[...]).astype(out_ref.dtype)
+        out_ref[0, 0] = (acc_s[...] / l_s[...][:, :1]).astype(out_ref.dtype)
 
 
 def flash_prefill_supported(
@@ -200,9 +206,9 @@ def flash_prefill_attention(
             lambda bi, ki, gi, qi, ei, *_: (bi, ki * group + gi, qi, 0),
         ),
         scratch_shapes=[
-            pltpu.VMEM((sq_blk, 1), jnp.float32),   # running max
-            pltpu.VMEM((sq_blk, 1), jnp.float32),   # running normalizer
-            pltpu.VMEM((sq_blk, hd), jnp.float32),  # output accumulator
+            pltpu.VMEM((sq_blk, 128), jnp.float32),  # running max
+            pltpu.VMEM((sq_blk, 128), jnp.float32),  # running normalizer
+            pltpu.VMEM((sq_blk, hd), jnp.float32),   # output accumulator
         ],
     )
     out = pl.pallas_call(
