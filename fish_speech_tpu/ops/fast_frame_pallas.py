@@ -521,4 +521,15 @@ def fused_fast_frame_supported(cfg: DualARConfig, params, batch: int) -> bool:
         return False
     if cfg.head_dim % 2:
         return False
+    # depthwise_output walks the (D, n_cb*cb_size) head in per-step
+    # column blocks of cb_size lanes; Mosaic requires lane blocks be
+    # multiples of 128 (or the full dim). Same walk over the embedding
+    # rows for depthwise_wte needs 8-sublane divisibility. Real Mimi
+    # DualAR checkpoints (cb_size 2048) pass; ineligible shapes take the
+    # identical-semantics XLA path (caught by tests/test_tpu_lowering.py).
+    if cfg.num_codebooks > 1:
+        if cfg.depthwise_output and cfg.codebook_size % 128:
+            return False
+        if cfg.depthwise_wte and cfg.codebook_size % 8:
+            return False
     return True
