@@ -486,3 +486,80 @@ def load_firefly_params(
     }
 
     return {"backbone": backbone, "quantizer": quantizer, "head": head}
+
+
+# --------------------------------------------------------------------------
+# Saving (training output -> the same torch-key safetensors the loader reads)
+# --------------------------------------------------------------------------
+
+
+def save_safetensors(path: str | Path, tensors: Dict[str, np.ndarray]) -> None:
+    """Hand-rolled safetensors writer (torch-free, mirrors the mmap
+    reader above): 8-byte LE header length, JSON header
+    {name: {dtype, shape, data_offsets}}, then raw LE tensor bytes."""
+    import json
+
+    import ml_dtypes
+
+    names = {np.dtype(v): k for k, v in _SAFETENSORS_DTYPES.items()}
+    names[np.dtype(ml_dtypes.bfloat16)] = "BF16"
+
+    header: Dict[str, Dict] = {}
+    blobs = []
+    off = 0
+    for name in sorted(tensors):
+        arr = np.ascontiguousarray(tensors[name])
+        if arr.dtype not in names:
+            raise ValueError(f"unsupported dtype {arr.dtype} for {name!r}")
+        data = arr.tobytes()
+        header[name] = {
+            "dtype": names[arr.dtype],
+            "shape": list(arr.shape),
+            "data_offsets": [off, off + len(data)],
+        }
+        blobs.append(data)
+        off += len(data)
+
+    head = json.dumps(header, separators=(",", ":")).encode()
+    with open(path, "wb") as f:
+        f.write(len(head).to_bytes(8, "little"))
+        f.write(head)
+        for data in blobs:
+            f.write(data)
+
+
+def save_lm_params(
+    path: str | Path, params: Dict, cfg: DualARConfig
+) -> None:
+    """Inverse of load_lm_params: write the DualARParams pytree as a
+    safetensors file with the upstream torch weight names/layout
+    (linears transposed back to (out, in), layer stacks unstacked), so
+    a finetuned model drops into the serving loader — or the reference
+    implementation — unchanged."""
+    tensors: Dict[str, np.ndarray] = {}
+
+    def put(name: str, value) -> None:
+        tensors[name] = np.asarray(value)
+
+    def unstack(prefix: str, stack: Dict) -> None:
+        n = stack["wqkv"].shape[0]
+        for i in range(n):
+            put(f"{prefix}.{i}.attention.wqkv.weight", stack["wqkv"][i].T)
+            put(f"{prefix}.{i}.attention.wo.weight", stack["wo"][i].T)
+            put(f"{prefix}.{i}.feed_forward.w1.weight", stack["w1"][i].T)
+            put(f"{prefix}.{i}.feed_forward.w3.weight", stack["w3"][i].T)
+            put(f"{prefix}.{i}.feed_forward.w2.weight", stack["w2"][i].T)
+            put(f"{prefix}.{i}.attention_norm.weight", stack["attention_norm"][i])
+            put(f"{prefix}.{i}.ffn_norm.weight", stack["ffn_norm"][i])
+
+    put("embeddings.weight", params["embeddings"])
+    put("codebook_embeddings.weight", params["codebook_embeddings"])
+    put("fast_embeddings.weight", params["fast_embeddings"])
+    put("norm.weight", params["norm"])
+    put("fast_norm.weight", params["fast_norm"])
+    put("fast_output.weight", np.asarray(params["fast_output"]).T)
+    if not cfg.tie_word_embeddings:
+        put("output.weight", np.asarray(params["output"]).T)
+    unstack("layers", params["slow"])
+    unstack("fast_layers", params["fast"])
+    save_safetensors(path, tensors)

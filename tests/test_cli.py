@@ -281,3 +281,43 @@ def test_pipeline_load_resolves_hub_repo_id(
     )
     assert calls == [("someone/some-repo", WhichModel.FISH_1_5)]
     assert pipe.codec is not None
+
+
+def test_finetune_cli(checkpoint_dir, tmp_path, monkeypatch):  # noqa: F811
+    """End-to-end finetune: .txt/.npy pairs -> trained checkpoint that
+    load_lm_params reads back and that differs from the input weights."""
+    from fish_speech_tpu.cli import finetune
+    from fish_speech_tpu.io.checkpoint import load_lm_params
+    from tests.test_checkpoint import CFG
+
+    rng = np.random.default_rng(3)
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(3):
+        codes = rng.integers(
+            0, CFG.codebook_size, size=(CFG.num_codebooks, 6), dtype=np.uint32
+        )
+        np.save(data / f"s{i}.npy", codes)
+        (data / f"s{i}.txt").write_text(f"hello sample {i} .")
+
+    out = tmp_path / "finetuned"
+    _run(
+        finetune,
+        ["--checkpoint", str(checkpoint_dir), "--data", str(data),
+         "--out", str(out), "--steps", "4", "--batch-size", "2",
+         "--seq-len", "48", "--lr", "1e-3", "--warmup", "1"],
+        monkeypatch,
+    )
+    assert (out / "model.safetensors").exists()
+    assert (out / "config.json").exists() and (out / "tokenizer.json").exists()
+    import jax.numpy as jnp
+
+    before = load_lm_params(checkpoint_dir, CFG, dtype=jnp.float32)
+    after = load_lm_params(out, CFG, dtype=jnp.float32)
+    # training moved the weights, and the file round-trips structurally
+    assert not np.allclose(
+        np.asarray(before["slow"]["wqkv"]), np.asarray(after["slow"]["wqkv"])
+    )
+    assert np.asarray(after["slow"]["wqkv"]).shape == np.asarray(
+        before["slow"]["wqkv"]
+    ).shape
