@@ -229,12 +229,14 @@ class LMEngine:
         # shapes silently fall back to the identical-semantics XLA path.
         flash_ok = mesh is None or mesh.size == 1
         if prefill_impl == "auto":
-            # Default OFF until the kernel has compiled+verified on the
-            # real Mosaic toolchain (the fused decode kernels have; this
-            # one landed during a tunnel outage — run `bench.py --verify`
-            # / `--prefill` on hardware, then flip auto to flash). The
-            # XLA prefill is the proven identical-semantics path.
-            self.use_flash_prefill = False
+            # Default ON for single-device TPU: verified on the real
+            # Mosaic toolchain 2026-08-18 (`bench.py --verify`: max-err
+            # 0.0078 vs XLA at ragged extents) and measured faster where
+            # prefill leaves the tunnel floor — 1000-tok prompt 67.4 ms
+            # (XLA) -> 57.5 ms median, neutral at <=500 tok
+            # (`bench.py --prefill`, BASELINE.md). CPU/multi-device
+            # engines keep the identical-semantics XLA path.
+            self.use_flash_prefill = flash_ok and jax.default_backend() == "tpu"
         else:
             self.use_flash_prefill = prefill_impl == "flash"
             if self.use_flash_prefill and not flash_ok:
@@ -259,7 +261,14 @@ class LMEngine:
         # horizons (4, 16) are; one-shot generate() overshoot is discarded
         # by the rewind that precedes any continuation.
         if decode_unroll == "auto":
-            # default pending the on-hardware A/B (flip to 4 once measured)
+            # A/B measured on hardware 2026-08-18 (`bench.py --unroll`,
+            # best-of-5 e2e RTF): u1 0.0560 / u2 0.0557 / u4 0.0555,
+            # lm medians 272.6 / 271.0 / 270.5 ms — within run-to-run
+            # noise. The ~0.3 ms/iter floor predicted from the trivial
+            # fori_loop probe does NOT apply to the real decode loop
+            # (one device program either way), so auto stays 1: same
+            # speed, smallest compile (u2/u4 warmups measured 26-51 s
+            # vs 8 s) and the simplest carried-state semantics.
             self.decode_unroll = 1
         else:
             self.decode_unroll = int(decode_unroll)
