@@ -22,6 +22,11 @@ dataset/ holds pairs: <name>.txt (transcript) + <name>.npy (codes,
 (num_codebooks, T) from cli/encoder). Multi-chip: the (dp, tp) mesh is
 used automatically when more than one device is visible (--tp to shard
 the matmuls as well; see parallel/mesh.py).
+
+Preemption safety: --save-every N snapshots the full train state
+(params + AdamW moments + LR-schedule count + data-order RNG) to
+<out>/train_state.npz; rerunning with --resume continues bit-exactly
+(train/checkpoint.py; tests/test_cli.py::test_finetune_cli_resume_bit_exact).
 """
 
 from __future__ import annotations
@@ -66,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-sysprompt", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--save-every", type=int, default=0,
+                   help="snapshot train state to <out>/train_state.npz "
+                        "every N steps (0 = only the final checkpoint)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <out>/train_state.npz if present; "
+                        "continues bit-exactly (optimizer moments, LR "
+                        "schedule, and data order all restored)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel width")
     return p
 
@@ -177,10 +189,38 @@ def main() -> None:
     params, opt_state = init_train_state(params, tcfg, mesh=mesh, cfg=cfg)
     step = make_train_step(cfg, token_cfg, tcfg)
 
+    out = Path(args.out)
+    state_path = out / "train_state.npz"
     rng = np.random.default_rng(args.seed)
     order: list = []
+    start_step = 0
+    if args.resume and state_path.exists():
+        from fish_speech_tpu.train.checkpoint import load_train_state
+
+        start_step, params, opt_state, saved_rng, extra = load_train_state(
+            state_path, params, opt_state
+        )
+        if saved_rng is not None:
+            rng = saved_rng
+        order = list(extra.get("order", []))
+        print(f"resumed from {state_path} at step {start_step}")
+
+    def snapshot(completed: int) -> None:
+        from fish_speech_tpu.train.checkpoint import save_train_state
+
+        out.mkdir(parents=True, exist_ok=True)
+        save_train_state(
+            state_path,
+            step=completed,
+            params=params,
+            opt_state=opt_state,
+            rng=rng,
+            extra={"order": [int(x) for x in order]},
+        )
+        print(f"snapshot: {state_path} (step {completed})")
+
     t0 = time.perf_counter()
-    for i in range(args.steps):
+    for i in range(start_step, args.steps):
         if len(order) < args.batch_size:
             order = list(rng.permutation(len(samples)))
         # wrap around for datasets smaller than the batch
@@ -200,8 +240,9 @@ def main() -> None:
                 f"acc slow {m['slow_acc']:.3f} fast {m['fast_acc']:.3f} "
                 f"grad {m['grad_norm']:.3f}  {dt:.1f}s"
             )
+        if args.save_every and (i + 1) % args.save_every == 0:
+            snapshot(i + 1)
 
-    out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     # gather sharded params to host before writing
     host_params = jax.tree.map(np.asarray, params)

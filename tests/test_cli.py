@@ -321,3 +321,47 @@ def test_finetune_cli(checkpoint_dir, tmp_path, monkeypatch):  # noqa: F811
     assert np.asarray(after["slow"]["wqkv"]).shape == np.asarray(
         before["slow"]["wqkv"]
     ).shape
+
+
+def test_finetune_cli_resume_bit_exact(checkpoint_dir, tmp_path, monkeypatch):  # noqa: F811
+    """--save-every + --resume: interrupt after 2 of 4 steps, resume, and
+    the final checkpoint is BITWISE identical to an uninterrupted run
+    (optimizer moments, LR schedule and data order all snapshot)."""
+    from safetensors import safe_open
+
+    from fish_speech_tpu.cli import finetune
+    from tests.test_checkpoint import CFG
+
+    rng = np.random.default_rng(4)
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(3):
+        codes = rng.integers(
+            0, CFG.codebook_size, size=(CFG.num_codebooks, 6), dtype=np.uint32
+        )
+        np.save(data / f"s{i}.npy", codes)
+        (data / f"s{i}.txt").write_text(f"resume sample {i} .")
+
+    common = ["--checkpoint", str(checkpoint_dir), "--data", str(data),
+              "--batch-size", "2", "--seq-len", "48", "--lr", "1e-3",
+              "--warmup", "1", "--seed", "11"]
+
+    straight = tmp_path / "straight"
+    _run(finetune, common + ["--out", str(straight), "--steps", "4"],
+         monkeypatch)
+
+    resumed = tmp_path / "resumed"
+    _run(finetune, common + ["--out", str(resumed), "--steps", "2",
+                             "--save-every", "1"], monkeypatch)
+    assert (resumed / "train_state.npz").exists()
+    _run(finetune, common + ["--out", str(resumed), "--steps", "4",
+                             "--resume"], monkeypatch)
+
+    def tensors(path):
+        with safe_open(path / "model.safetensors", framework="np") as f:
+            return {k: f.get_tensor(k) for k in f.keys()}
+
+    a, b = tensors(straight), tensors(resumed)
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)

@@ -210,3 +210,113 @@ def test_save_load_roundtrip(tmp_path):
     assert tree1 == tree2
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_resume_bit_exact(tmp_path):
+    """Mid-run snapshot -> load into FRESH state -> continue: every
+    parameter and optimizer leaf must equal the uninterrupted run
+    bitwise (the LR-schedule count rides in the optimizer state, so a
+    wrong resume step would show up as a different update scale)."""
+    from fish_speech_tpu.train.checkpoint import (
+        load_train_state,
+        save_train_state,
+    )
+
+    tcfg = TrainConfig(
+        learning_rate=1e-3, warmup_steps=2, total_steps=8, remat=False
+    )
+    batches = [_batch(100 + i) for i in range(6)]
+    step = make_train_step(CFG, TOK, tcfg, donate=False)
+
+    # uninterrupted: 6 steps
+    pa, sa = init_train_state(_params(7), tcfg)
+    for b in batches:
+        pa, sa, _ = step(pa, sa, b)
+
+    # interrupted: 3 steps, snapshot, reload into a DIFFERENT init
+    pb, sb = init_train_state(_params(7), tcfg)
+    for b in batches[:3]:
+        pb, sb, _ = step(pb, sb, b)
+    rng = np.random.default_rng(42)
+    rng.integers(0, 1000, size=5)  # advance so the state is nontrivial
+    save_train_state(
+        tmp_path / "st.npz", step=3, params=pb, opt_state=sb, rng=rng,
+        extra={"order": [3, 1, 2]},
+    )
+
+    pc, sc = init_train_state(_params(8), tcfg)  # different seed
+    got_step, pc, sc, rng2, extra = load_train_state(
+        tmp_path / "st.npz", pc, sc
+    )
+    assert got_step == 3
+    assert extra["order"] == [3, 1, 2]
+    # restored rng continues the saved stream exactly
+    np.testing.assert_array_equal(
+        rng.integers(0, 1000, size=8), rng2.integers(0, 1000, size=8)
+    )
+    for b in batches[3:]:
+        pc, sc, _ = step(pc, sc, b)
+
+    for a, c in zip(jax.tree.leaves(pa), jax.tree.leaves(pc)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    for a, c in zip(jax.tree.leaves(sa), jax.tree.leaves(sc)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_checkpoint_resume_across_mesh(tmp_path):
+    """Save from a single-device run, resume under a dp x tp mesh: the
+    loader re-places every leaf with the sharded template's sharding and
+    the continued step matches the unsharded continuation."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the multi-device CPU mesh")
+    from fish_speech_tpu.parallel.mesh import make_mesh
+    from fish_speech_tpu.train.checkpoint import (
+        load_train_state,
+        save_train_state,
+    )
+
+    tcfg = TrainConfig(
+        learning_rate=1e-3, warmup_steps=1, total_steps=6, remat=False
+    )
+    batch = _batch(55, b=4)
+    step = make_train_step(CFG, TOK, tcfg, donate=False)
+
+    p1, s1 = init_train_state(_params(13), tcfg)
+    p1, s1, _ = step(p1, s1, batch)
+    save_train_state(tmp_path / "st.npz", step=1, params=p1, opt_state=s1)
+
+    # unsharded continuation (reference)
+    p1, s1, m1 = step(p1, s1, batch)
+
+    mesh = make_mesh(4, tp=2)
+    with mesh:
+        p2, s2 = init_train_state(_params(14), tcfg, mesh=mesh, cfg=CFG)
+        _, p2, s2, _, _ = load_train_state(tmp_path / "st.npz", p2, s2)
+        p2, s2, m2 = step(p2, s2, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), atol=1e-5, rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
+        )
+
+
+def test_checkpoint_rejects_mismatched_state(tmp_path):
+    """A snapshot from a different model/optimizer shape must raise, not
+    silently mis-zip leaves."""
+    from fish_speech_tpu.train.checkpoint import (
+        load_train_state,
+        save_train_state,
+    )
+
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=4)
+    p, s = init_train_state(_params(1), tcfg)
+    save_train_state(tmp_path / "st.npz", step=1, params=p, opt_state=s)
+
+    small = dataclasses.replace(CFG, dim=16, head_dim=4, intermediate_size=32)
+    p2 = init_dual_ar_params(jax.random.PRNGKey(0), small, dtype=jnp.float32)
+    p2, s2 = init_train_state(p2, tcfg)
+    with pytest.raises(ValueError):
+        load_train_state(tmp_path / "st.npz", p2, s2)
