@@ -287,6 +287,34 @@ class LMEngine:
         self._prefill_jit = {}  # sampling -> fn
         self._decode_jit = {}
 
+    def _aot_parts(self):
+        """Engine identity for AOT program seeds (utils/aot.py): every
+        ctor-resolved knob that shapes the traced program. Single-device
+        engines only — exported modules are per-platform, per-device
+        programs; sharded engines always trace (utils.aot.wrap enabled=
+        mesh is None at the call sites)."""
+        return (
+            self.cfg,
+            self.token_cfg,
+            self.lm,
+            self.batch_size,
+            self.cache_len,
+            self.max_frames,
+            self.rep_pen_window,
+            self.dtype.__name__ if hasattr(self.dtype, "__name__")
+            else str(self.dtype),
+            self.use_pallas,
+            self.pallas_interpret,
+            self.use_fused_fast,
+            self.fused_fast_interpret,
+            self.use_fused_slow,
+            self.fused_slow_interpret,
+            self.use_flash_prefill,
+            self.flash_prefill_interpret,
+            self.decode_unroll,
+            self.quantize_int8,
+        )
+
     # -- state ------------------------------------------------------------
 
     def init_state(self, seed: Optional[int] = None) -> GenState:
@@ -373,7 +401,15 @@ class LMEngine:
                 )
                 return new_state, res.tokens, res.is_eos, hidden
 
-            self._prefill_jit[key] = prefill_fn
+            from fish_speech_tpu.utils import aot
+
+            self._prefill_jit[key] = aot.wrap(
+                "prefill",
+                (*self._aot_parts(), sampling, kv_extent),
+                prefill_fn,
+                donate_argnums=(2,),
+                enabled=self.mesh is None,
+            )
         return self._prefill_jit[key]
 
     def _decode_body(self, params, sampling: SamplingArgs, state: GenState):
@@ -551,7 +587,15 @@ class LMEngine:
                 )
                 return state, out, valid, hid, jnp.minimum(step, max_steps)
 
-            self._decode_jit[key] = decode_loop
+            from fish_speech_tpu.utils import aot
+
+            self._decode_jit[key] = aot.wrap(
+                "decode_loop",
+                (*self._aot_parts(), sampling, collect_hidden, horizon, cap),
+                decode_loop,
+                donate_argnums=(1,),
+                enabled=self.mesh is None,
+            )
         params = self.params
         fn = self._decode_jit[key]
         return lambda state, max_steps: fn(params, state, max_steps)
