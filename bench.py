@@ -159,18 +159,49 @@ def main() -> None:
     rng = s.rng
     prompt = s.make_prompt()
 
-    # Warmup: compiles prefill, decode loop, vocoder.
+    # The headline path OVERLAPS LM decode chunks with streaming vocode
+    # feeds on the one chip (generate/overlap.py): wall-clock approaches
+    # the pure device floor instead of paying the LM fetch and the
+    # vocoder round trips in sequence. --serial keeps the old
+    # generate-then-decode measurement for A/B.
+    serial = "--serial" in sys.argv
+    # 64-frame chunks: 2 decode fetches + 2 vocode programs per trial.
+    # One chip serializes device programs, so the overlap's win is
+    # host/tunnel hiding only — fewer, larger chunks expose fewer round
+    # trips (32-frame chunks measured a worse MEDIAN from fetch variance
+    # despite the same best: 0.0607 best / 0.0752 median, 2026-08-19).
+    overlap_chunk = 64
+    from fish_speech_tpu.generate.overlap import generate_vocode_overlapped
+
+    def run_trial(seed):
+        """Returns (wall_s, frames, lm_s, voc_s). lm_s is the wall until
+        the last LM frame reached the host; voc_s the residual tail."""
+        if serial:
+            t0 = time.perf_counter()
+            res, _ = engine.generate(
+                prompt, max_new_tokens=n_frames, sampling=sampling, seed=seed
+            )
+            lm_s = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            _ = codec.decode(np.ascontiguousarray(res.tokens))
+            voc_s = time.perf_counter() - t1
+            return lm_s + voc_s, res.frames, lm_s, voc_s
+        t0 = time.perf_counter()
+        pcm, res, _ = generate_vocode_overlapped(
+            engine, codec, prompt, sampling=sampling,
+            max_new_tokens=n_frames, seed=seed, chunk=overlap_chunk,
+        )
+        wall = time.perf_counter() - t0
+        assert pcm.shape[0] == res.frames * codec.samples_per_frame
+        lm_s = res.prefill_s + res.decode_s
+        return wall, res.frames, lm_s, wall - lm_s
+
+    # Warmup: compiles prefill, decode chunk, streaming vocoder (or the
+    # full decode loop + batch vocoder under --serial).
     t0 = time.perf_counter()
-    res, _ = engine.generate(
-        prompt, max_new_tokens=n_frames, sampling=sampling, seed=0
-    )
-    t1 = time.perf_counter()
-    log(f"warmup LM (compile): {t1 - t0:.1f}s")
-    codes = res.tokens
-    if codes.shape[1] < 4:  # random weights may hit EOS instantly; force codes
-        codes = rng.integers(0, 1000, size=(cfg.num_codebooks, n_frames - 1))
-    _ = codec.decode(np.ascontiguousarray(codes[:, : n_frames - 1]))
-    log(f"warmup vocoder (compile): {time.perf_counter() - t1:.1f}s")
+    run_trial(seed=0)
+    log(f"warmup LM (compile): {time.perf_counter() - t0:.1f}s"
+        + ("" if serial else " (overlapped: incl. vocoder stream)"))
 
     # Timed run: best of 5 (run-to-run tunnel variance is ~±10%,
     # docs/TPU_NOTES.md #11; each trial is ~0.4 s so this is cheap).
@@ -178,27 +209,17 @@ def main() -> None:
     best_split = (0.0, 0.0)
     rtfs = []
     for trial in range(5):
-        t0 = time.perf_counter()
-        res, _ = engine.generate(
-            prompt, max_new_tokens=n_frames, sampling=sampling, seed=trial + 1
-        )
-        lm_s = time.perf_counter() - t0
-        frames = res.frames
-        codes = res.tokens
+        wall, frames, lm_s, voc_s = run_trial(seed=trial + 1)
         # im_end column is zeroed, so every trial runs the full length;
         # audio_seconds below is computed from frames ACTUALLY generated.
         assert frames >= n_frames - 1, (
             f"trial {trial} terminated early at {frames} frames"
         )
-        t1 = time.perf_counter()
-        audio = codec.decode(np.ascontiguousarray(codes))
-        voc_s = time.perf_counter() - t1
-
         audio_seconds = frames / frame_rate
-        rtf = (lm_s + voc_s) / audio_seconds
+        rtf = wall / audio_seconds
         log(
             f"trial {trial}: {frames} frames, lm {lm_s:.3f}s "
-            f"({frames / lm_s:.1f} frames/s), vocoder {voc_s:.3f}s, "
+            f"({frames / lm_s:.1f} frames/s), vocode tail {voc_s:.3f}s, "
             f"audio {audio_seconds:.2f}s, RTF {rtf:.4f}"
         )
         rtfs.append(rtf)
@@ -247,6 +268,9 @@ def _serving_setup(s, rows: int, *, codec_buckets, int8: bool, horizon: int = 16
         batch_size=rows, cache_len=512, max_frames=n_frames,
         rep_pen_window=BATCHED_REP_PEN_WINDOW,
         dtype=s.jnp.bfloat16, prompt_buckets=(64,), quantize_int8=int8,
+        # the serving default (pipeline.create_batcher): per-request
+        # sampling/seed as device operands
+        dynamic_sampling=True,
     )
     codec = FireflyCodec(s.codec_params, s.codec_cfg, buckets=codec_buckets)
     sampling = SamplingArgs(

@@ -28,11 +28,15 @@ harmless device-side: EOS rows are masked invalid by the decode loop
 itself, and budget-finished rows get their position counter rewound by
 the next admission's prefill.
 
-Sampling parameters are fixed per batcher (they're compiled into the
-decode program); per-request seeds are not supported in batched mode
-(rows share one RNG stream — same as the reference's fixed-seed static
-batch, static_batch.rs:63). Runaway chunks are returned with
-hit_max=True instead of rerolled.
+Per-request sampling and seeds: on a dynamic_sampling engine (the
+serving default) each request's temp/top_p/top_k/rep-pen and seed are
+DEVICE operands installed into its row at admission — one compiled
+decode program serves mixed configs, and a seeded request's token
+stream is deterministic regardless of co-tenant rows (each row keeps
+its own PRNG key chain). On a static engine the batcher's one
+SamplingArgs is compiled in and per-request sampling/seed are ignored
+(the reference's fixed-seed static batch, static_batch.rs:63).
+Runaway chunks are returned with hit_max=True instead of rerolled.
 """
 
 from __future__ import annotations
@@ -79,11 +83,15 @@ class BatchedRequest:
         cond_len: int,
         max_new: int,
         stream: bool = False,
+        sampling: Optional[SamplingArgs] = None,
+        seed: Optional[int] = None,
     ):
         self.prompts = prompts
         self.cond_len = cond_len
         self.max_new = max_new
         self.stream = stream
+        self.sampling = sampling  # None -> the batcher's default
+        self.seed = seed
         self.results: "queue.Queue[Optional[object]]" = queue.Queue()
         self.error: Optional[Exception] = None
 
@@ -210,8 +218,16 @@ class ContinuousBatcher:
         cond_len: int,
         max_new: int,
         stream: bool = False,
+        sampling: Optional[SamplingArgs] = None,
+        seed: Optional[int] = None,
     ) -> BatchedRequest:
-        req = BatchedRequest(prompts, cond_len, max_new, stream=stream)
+        """sampling/seed are honored per request on dynamic_sampling
+        engines (device operands — no recompiles); a static engine
+        serves every request with the batcher's compiled-in config."""
+        req = BatchedRequest(
+            prompts, cond_len, max_new, stream=stream,
+            sampling=sampling, seed=seed,
+        )
         self.queue.put(req)
         self._wake.set()
         if self._stop:
@@ -348,6 +364,22 @@ class ContinuousBatcher:
             i = j + 1
         return admits
 
+    def _req_sampling(self, req: BatchedRequest) -> SamplingArgs:
+        """Effective sampling for one request: its own on dynamic
+        engines, the batcher's compiled-in config otherwise."""
+        if self.engine.dynamic_sampling and req.sampling is not None:
+            return req.sampling
+        return self.sampling
+
+    @staticmethod
+    def _req_seed(req: BatchedRequest, chunk_idx: int) -> Optional[int]:
+        """Deterministic per-text-chunk key seed for a seeded request
+        (chunk admissions reset the row's chain, so the stream depends
+        only on (seed, chunk_idx, own frame count) — never co-tenants)."""
+        if req.seed is None:
+            return None
+        return (int(req.seed) + chunk_idx * 0x9E3779B1) & 0x7FFFFFFF
+
     def _start_chunk_burst(self, slots: List[_RowState]) -> List[_Admit]:
         """Admit a contiguous run of FRESH requests (first chunk, offset
         0) in one device program."""
@@ -370,7 +402,11 @@ class ContinuousBatcher:
             slot.active = True
             self.epoch[slot.row] += 1
         self.state, frames, eoses = self.engine.prefill_rows(
-            self.state, prompts, self.sampling, slots[0].row
+            self.state, prompts, self.sampling, slots[0].row,
+            per_row=[
+                (self._req_sampling(s.req), self._req_seed(s.req, 0))
+                for s in slots
+            ],
         )
         return [
             _Admit(slot, self.epoch[slot.row], frames[i], eoses[i])
@@ -385,7 +421,8 @@ class ContinuousBatcher:
         # prefill_row rewinds the row to `offset` (the per-row
         # clear_slow_caches_until) and marks it live again
         self.state, frame, is_eos = self.engine.prefill_row(
-            self.state, prompt, self.sampling, slot.row, offset=offset
+            self.state, prompt, self._req_sampling(req), slot.row,
+            offset=offset, seed=self._req_seed(req, slot.chunk_idx),
         )
         slot.frames = []
         slot.emitted = 0

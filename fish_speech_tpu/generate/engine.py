@@ -44,7 +44,9 @@ from fish_speech_tpu.models.dual_ar import (
 from fish_speech_tpu.ops.sampling import (
     SINGLE_STREAM_REP_PEN_WINDOW,
     RepPenWindow,
+    RowSampling,
     SamplingArgs,
+    split_row_keys,
 )
 
 logger = logging.getLogger(__name__)
@@ -53,7 +55,13 @@ DEFAULT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 
 class GenState(NamedTuple):
-    """Decode-loop carry for a batch of sequences."""
+    """Decode-loop carry for a batch of sequences.
+
+    rng is ONE PRNG key (2,) on static-sampling engines, or (B, 2)
+    per-row key chains on dynamic_sampling engines (each request's draw
+    sequence then depends only on its own seed + frame count).
+    samp carries the per-row device sampling parameters; static engines
+    thread it untouched (their sampling is compiled in)."""
 
     cache: KVCache
     pos: jnp.ndarray  # (B,) int32 — per-row cache length / next write slot
@@ -61,6 +69,7 @@ class GenState(NamedTuple):
     rep_pen: RepPenWindow  # tokens (B, C, W)
     rng: jax.Array
     done: jnp.ndarray  # (B,) bool
+    samp: RowSampling  # per-row (B,) sampling params (dynamic engines)
 
 
 class GenerationResult(NamedTuple):
@@ -113,8 +122,18 @@ class LMEngine:
         decode_unroll="auto",
         mesh=None,
         quantize_int8: bool = False,
+        dynamic_sampling: bool = False,
         _params_preprocessed: bool = False,
     ) -> None:
+        # dynamic_sampling: temp/top_p/top_k/rep-pen become PER-ROW device
+        # operands (GenState.samp) and the RNG becomes per-row key chains,
+        # so ONE compiled decode program serves mixed per-request sampling
+        # configs and per-request seeds (the continuous batcher's serving
+        # mode; reference fixes one SamplingArgs per batch,
+        # static_batch.rs:29-63). Static engines keep sampling compiled in
+        # (constant folding + the fused fast-frame kernel's in-kernel
+        # sampler need static knobs).
+        self.dynamic_sampling = dynamic_sampling
         # Gather the LM head down to the audio-legal columns once: the
         # per-frame head matmul then reads ~1 MB instead of ~200 MB
         # (constrained sampling can never pick any other column; see
@@ -180,6 +199,7 @@ class LMEngine:
 
         fused_ok = (
             (mesh is None or mesh.size == 1)
+            and not dynamic_sampling  # in-kernel sampler needs static knobs
             and fused_fast_frame_supported(cfg, params, batch_size)
         )
         if fast_frame_impl == "auto":
@@ -313,7 +333,14 @@ class LMEngine:
             self.flash_prefill_interpret,
             self.decode_unroll,
             self.quantize_int8,
+            self.dynamic_sampling,
         )
+
+    def _skey(self, sampling: SamplingArgs):
+        """Jit/AOT key contribution of the sampling config: dynamic
+        engines read every knob from GenState.samp at run time, so their
+        programs are sampling-independent and share ONE key."""
+        return None if self.dynamic_sampling else sampling
 
     # -- state ------------------------------------------------------------
 
@@ -321,6 +348,13 @@ class LMEngine:
         if seed is None:
             seed = int(np.random.default_rng().integers(0, 2**31 - 1))
         b, c = self.batch_size, self.cfg.num_codebooks
+        if self.dynamic_sampling:
+            # one key chain per row; admissions overwrite their row's key
+            rng = jax.vmap(jax.random.PRNGKey)(
+                jnp.arange(b, dtype=jnp.uint32) + jnp.uint32(seed)
+            )
+        else:
+            rng = jax.random.PRNGKey(seed)
         return GenState(
             cache=KVCache.init(
                 self.cfg.n_layer,
@@ -333,8 +367,9 @@ class LMEngine:
             pos=jnp.zeros((b,), jnp.int32),
             prev=jnp.zeros((b, c + 1), jnp.int32),
             rep_pen=RepPenWindow.init((b, c), self.rep_pen_window),
-            rng=jax.random.PRNGKey(seed),
+            rng=rng,
             done=jnp.zeros((b,), bool),
+            samp=RowSampling.broadcast(SamplingArgs(), b),
         )
 
     # -- jitted kernels ---------------------------------------------------
@@ -357,12 +392,15 @@ class LMEngine:
         constants, which the TPU toolchain ingests per program and blows
         compile times up by >10x (measured: 6s as an argument vs 8+ min
         captured for the same graph)."""
-        key = (sampling, kv_extent)
+        key = (self._skey(sampling), kv_extent)
         if key not in self._prefill_jit:
 
             @partial(jax.jit, donate_argnums=(2,))
             def prefill_fn(params, tokens, state: GenState, seq_lens, offset):
-                rng, frame_rng = jax.random.split(state.rng)
+                if self.dynamic_sampling:
+                    rng, frame_rng = split_row_keys(state.rng)
+                else:
+                    rng, frame_rng = jax.random.split(state.rng)
                 logits, hidden, cache = slow_prefill(
                     params,
                     self.cfg,
@@ -390,6 +428,7 @@ class LMEngine:
                     ),
                     None,
                     frame_rng,
+                    samp=state.samp if self.dynamic_sampling else None,
                 )
                 new_state = GenState(
                     cache=cache,
@@ -398,6 +437,7 @@ class LMEngine:
                     rep_pen=res.rep_pen,
                     rng=rng,
                     done=res.is_eos,
+                    samp=state.samp,
                 )
                 return new_state, res.tokens, res.is_eos, hidden
 
@@ -405,7 +445,7 @@ class LMEngine:
 
             self._prefill_jit[key] = aot.wrap(
                 "prefill",
-                (*self._aot_parts(), sampling, kv_extent),
+                (*self._aot_parts(), self._skey(sampling), kv_extent),
                 prefill_fn,
                 donate_argnums=(2,),
                 enabled=self.mesh is None,
@@ -413,7 +453,10 @@ class LMEngine:
         return self._prefill_jit[key]
 
     def _decode_body(self, params, sampling: SamplingArgs, state: GenState):
-        rng, frame_rng = jax.random.split(state.rng)
+        if self.dynamic_sampling:
+            rng, frame_rng = split_row_keys(state.rng)
+        else:
+            rng, frame_rng = jax.random.split(state.rng)
         if self.use_fused_slow:
             from fish_speech_tpu.models.dual_ar import KVCache, embed_tokens
             from fish_speech_tpu.ops.slow_step_pallas import fused_slow_step
@@ -454,6 +497,7 @@ class LMEngine:
             state.rep_pen,
             state.prev,
             frame_rng,
+            samp=state.samp if self.dynamic_sampling else None,
             use_fused_fast=self.use_fused_fast,
             fused_interpret=self.fused_fast_interpret,
         )
@@ -470,6 +514,7 @@ class LMEngine:
             rep_pen=res.rep_pen,
             rng=rng,
             done=state.done | res.is_eos,
+            samp=state.samp,
         )
         return new_state, frame, hidden
 
@@ -497,7 +542,7 @@ class LMEngine:
         and the DISCARDED carry may sit up to unroll-1 frames ahead when
         max_steps is not a multiple (ctor comment; decode_chunk asserts
         divisibility so carried-state streams can never hit it)."""
-        key = (sampling, collect_hidden, horizon)
+        key = (self._skey(sampling), collect_hidden, horizon)
         if key not in self._decode_jit:
             cap = horizon or self.max_frames
             unroll = self.decode_unroll
@@ -591,7 +636,8 @@ class LMEngine:
 
             self._decode_jit[key] = aot.wrap(
                 "decode_loop",
-                (*self._aot_parts(), sampling, collect_hidden, horizon, cap),
+                (*self._aot_parts(), self._skey(sampling), collect_hidden,
+                 horizon, cap),
                 decode_loop,
                 donate_argnums=(1,),
                 enabled=self.mesh is None,
@@ -605,7 +651,7 @@ class LMEngine:
         uses decode_chunk); kept for frame-at-a-time callers and the
         sharded-parity test (tests/test_parallel.py), and routed through
         the same _decode_body as decode_chunk so the two cannot diverge."""
-        key = ("step", sampling)
+        key = ("step", self._skey(sampling))
         if key not in self._decode_jit:
 
             @partial(jax.jit, donate_argnums=(1,))
@@ -625,12 +671,29 @@ class LMEngine:
         prefill ONE request's prompt into row `row` of a shared B-row
         cache and splice its first frame / position / rep-pen state into
         the shared GenState without touching other rows."""
-        key = ("row", sampling, kv_extent)
+        key = ("row", self._skey(sampling), kv_extent)
         if key not in self._prefill_jit:
 
             @partial(jax.jit, donate_argnums=(2,))
-            def prefill_row_fn(params, tokens, state: GenState, seq_len, offset, row):
-                rng, frame_rng = jax.random.split(state.rng)
+            def prefill_row_fn(params, tokens, state: GenState, seq_len,
+                               offset, row, samp_vec, row_key):
+                if self.dynamic_sampling:
+                    # reset this row's key chain to the request's seed and
+                    # install its sampling params; other rows untouched
+                    ks = jax.random.split(row_key, 2)
+                    rng = state.rng.at[row].set(ks[0])
+                    frame_rng = ks[1][None]  # (1, 2) per-row key
+                    samp_all = state.samp.set_rows(row, samp_vec)
+                    row_samp = RowSampling(
+                        temp=samp_vec[:, 0],
+                        top_p=samp_vec[:, 1],
+                        top_k=samp_vec[:, 2].astype(jnp.int32),
+                        rep_pen=samp_vec[:, 3],
+                    )
+                else:
+                    rng, frame_rng = jax.random.split(state.rng)
+                    samp_all = state.samp
+                    row_samp = None
                 logits, hidden, cache = slow_prefill(
                     params,
                     self.cfg,
@@ -655,6 +718,7 @@ class LMEngine:
                     RepPenWindow.init((1, self.cfg.num_codebooks), self.rep_pen_window),
                     None,
                     frame_rng,
+                    samp=row_samp,
                 )
                 new_state = GenState(
                     cache=cache,
@@ -672,6 +736,7 @@ class LMEngine:
                     ),
                     rng=rng,
                     done=state.done.at[row].set(res.is_eos[0]),
+                    samp=samp_all,
                 )
                 return new_state, res.tokens[0], res.is_eos[0]
 
@@ -685,9 +750,15 @@ class LMEngine:
         sampling: SamplingArgs,
         row: int,
         offset: int = 0,
+        seed: Optional[int] = None,
     ) -> Tuple[GenState, np.ndarray, bool]:
         """Admit one prompt into row `row` of a shared decode batch.
-        Returns (state, first frame (C+1,), is_eos)."""
+        Returns (state, first frame (C+1,), is_eos).
+
+        On dynamic_sampling engines `sampling` and `seed` become this
+        row's DEVICE params/key chain (per-request sampling without
+        recompiles); static engines compile `sampling` in and ignore
+        `seed`."""
         prompt = np.asarray(prompt)
         if prompt.ndim == 3:
             prompt = prompt[0]
@@ -705,8 +776,17 @@ class LMEngine:
             jnp.asarray([sl], jnp.int32),
             jnp.int32(offset),
             jnp.int32(row),
+            jnp.asarray(RowSampling.row_vector(sampling))[None, :],
+            self._row_key(seed),
         )
         return state, frame, is_eos
+
+    def _row_key(self, seed: Optional[int]) -> jax.Array:
+        """Admission key for one row's chain: PRNGKey(seed), or a fresh
+        random seed when none was requested."""
+        if seed is None:
+            seed = int(np.random.default_rng().integers(0, 2**31 - 1))
+        return jax.random.PRNGKey(int(seed) & 0x7FFFFFFF)
 
     def _get_prefill_rows(self, sampling: SamplingArgs, kv_extent: int):
         """Jitted k-row admission prefill (contiguous rows [row0, row0+k)):
@@ -714,13 +794,32 @@ class LMEngine:
         sequential prefill_row dispatches. Retraces per k (jit shape
         specialization); the batcher groups admissions so only a few k
         values ever occur."""
-        key = ("rows", sampling, kv_extent)
+        key = ("rows", self._skey(sampling), kv_extent)
         if key not in self._prefill_jit:
 
             @partial(jax.jit, donate_argnums=(2,))
-            def prefill_rows_fn(params, tokens, state: GenState, seq_lens, offset, row0):
+            def prefill_rows_fn(params, tokens, state: GenState, seq_lens,
+                                offset, row0, samp_vecs, row_keys):
                 k = tokens.shape[0]
-                rng, frame_rng = jax.random.split(state.rng)
+                if self.dynamic_sampling:
+                    ks = jax.vmap(lambda kk: jax.random.split(kk, 2))(
+                        row_keys
+                    )  # (k, 2, 2)
+                    rng = jax.lax.dynamic_update_slice(
+                        state.rng, ks[:, 0], (row0, 0)
+                    )
+                    frame_rng = ks[:, 1]
+                    samp_all = state.samp.set_rows(row0, samp_vecs)
+                    burst_samp = RowSampling(
+                        temp=samp_vecs[:, 0],
+                        top_p=samp_vecs[:, 1],
+                        top_k=samp_vecs[:, 2].astype(jnp.int32),
+                        rep_pen=samp_vecs[:, 3],
+                    )
+                else:
+                    rng, frame_rng = jax.random.split(state.rng)
+                    samp_all = state.samp
+                    burst_samp = None
                 logits, hidden, cache = slow_prefill(
                     params,
                     self.cfg,
@@ -745,6 +844,7 @@ class LMEngine:
                     RepPenWindow.init((k, self.cfg.num_codebooks), self.rep_pen_window),
                     None,
                     frame_rng,
+                    samp=burst_samp,
                 )
                 upd = jax.lax.dynamic_update_slice
                 new_state = GenState(
@@ -765,6 +865,7 @@ class LMEngine:
                     ),
                     rng=rng,
                     done=upd(state.done, res.is_eos, (row0,)),
+                    samp=samp_all,
                 )
                 return new_state, res.tokens, res.is_eos
 
@@ -777,11 +878,16 @@ class LMEngine:
         prompts,  # list of (C+1, L_i) prompts, one per row
         sampling: SamplingArgs,
         row0: int,
+        per_row=None,  # optional list of (SamplingArgs, seed) per row
     ) -> Tuple[GenState, jnp.ndarray, jnp.ndarray]:
         """Admit a burst of fresh prompts into contiguous rows
         [row0, row0+k) in ONE device program (fresh sequences only:
         offset 0). Returns (state, frames (k, C+1), is_eos (k,)) —
-        frames/is_eos are device futures."""
+        frames/is_eos are device futures.
+
+        per_row: on dynamic_sampling engines, each row's
+        (SamplingArgs, seed or None); defaults to `sampling` with fresh
+        random seeds."""
         k = len(prompts)
         sls = [p.shape[-1] for p in prompts]
         bucket = _bucket_for(max(sls), self.prompt_buckets)
@@ -790,6 +896,12 @@ class LMEngine:
         for i, p in enumerate(prompts):
             padded[i, :, : sls[i]] = p
         fn = self._get_prefill_rows(sampling, self._kv_extent_for(0, bucket))
+        if per_row is None:
+            per_row = [(sampling, None)] * k
+        vecs = np.stack(
+            [RowSampling.row_vector(s) for s, _ in per_row]
+        )
+        keys = jnp.stack([self._row_key(sd) for _, sd in per_row])
         return fn(
             self.params,
             jnp.asarray(padded),
@@ -797,6 +909,8 @@ class LMEngine:
             jnp.asarray(sls, jnp.int32),
             jnp.int32(0),
             jnp.int32(row0),
+            jnp.asarray(vecs),
+            keys,
         )
 
     def decode_chunk(
@@ -804,6 +918,7 @@ class LMEngine:
         state: GenState,
         sampling: SamplingArgs,
         horizon: int,
+        max_steps: Optional[int] = None,
     ):
         """Run up to `horizon` decode frames for the whole batch.
         Returns (state, out (horizon, B, C+1), valid (horizon, B), steps).
@@ -811,14 +926,21 @@ class LMEngine:
         Carried-state REPEATED decode requires the horizon to be a
         multiple of decode_unroll: a non-multiple would let the unrolled
         loop's discarded tail sub-steps advance the carry past the
-        reported frames, silently dropping them from the stream."""
+        reported frames, silently dropping them from the stream.
+
+        max_steps < horizon reuses the same compiled program for a
+        budget-truncated FINAL chunk (max_steps is a device operand, not
+        part of the jit key). Only valid when no further carried-state
+        decode follows: with decode_unroll > 1 a non-multiple max_steps
+        lets the discarded carry run ahead of the reported frames."""
         assert horizon % self.decode_unroll == 0, (
             f"decode_chunk horizon {horizon} must be a multiple of "
             f"decode_unroll={self.decode_unroll}"
         )
+        steps_in = horizon if max_steps is None else min(max_steps, horizon)
         state, out, valid, _hid, steps = self._get_decode_loop(
             sampling, horizon=horizon
-        )(state, jnp.int32(horizon))
+        )(state, jnp.int32(steps_in))
         return state, out, valid, steps
 
     # -- drivers ----------------------------------------------------------
@@ -913,6 +1035,10 @@ class LMEngine:
         sampling = sampling or SamplingArgs()
         if state is None:
             state = self.init_state(seed)
+        if self.dynamic_sampling:
+            state = state._replace(
+                samp=RowSampling.broadcast(sampling, self.batch_size)
+            )
 
         prompt = np.asarray(prompt)
         prompt_len = prompt.shape[-1]
@@ -1001,6 +1127,8 @@ class LMEngine:
         assert len(prompts) == b, (len(prompts), b)
         sampling = sampling or SamplingArgs()
         state = self.init_state(seed)
+        if self.dynamic_sampling:
+            state = state._replace(samp=RowSampling.broadcast(sampling, b))
 
         prompts = [np.asarray(p) for p in prompts]
         lens = [int(p.shape[-1]) for p in prompts]
@@ -1128,4 +1256,5 @@ class LMEngine:
             rep_pen=RepPenWindow.init((b, c), self.rep_pen_window),
             rng=state.rng,
             done=jnp.zeros((b,), bool),
+            samp=state.samp,
         )

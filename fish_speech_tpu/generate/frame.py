@@ -24,9 +24,12 @@ from fish_speech_tpu.models.dual_ar import (
 )
 from fish_speech_tpu.ops.sampling import (
     RepPenWindow,
+    RowSampling,
     SamplingArgs,
     legacy_pad_eos_sample,
+    legacy_pad_eos_sample_rows,
     sample_top_k_top_p,
+    sample_top_k_top_p_dynamic,
 )
 
 
@@ -63,6 +66,7 @@ def sample_semantic(
     cfg: DualARConfig,
     sampling: SamplingArgs,
     rng: jax.Array,
+    samp: "RowSampling" = None,
 ) -> jnp.ndarray:
     """Constrained (audio-only) semantic-token draw over WINDOWED logits.
 
@@ -76,13 +80,24 @@ def sample_semantic(
       (reference: single_batch.rs:103-124).
     """
     if lm in (WhichLM.FISH_1_2, WhichLM.FISH_1_4):
+        if samp is not None:  # dynamic engines: rng is (B, 2) row keys
+            return legacy_pad_eos_sample_rows(
+                logits[:, 0], logits[:, 1], token_cfg.pad_id,
+                token_cfg.im_end_id, rng,
+            )
         return legacy_pad_eos_sample(
             logits[:, 0], logits[:, 1], token_cfg.pad_id, token_cfg.im_end_id, rng
         )
 
-    tok = sample_top_k_top_p(
-        logits, rng, temp=sampling.temp, top_p=sampling.top_p, top_k=sampling.top_k
-    )
+    if samp is not None:
+        tok = sample_top_k_top_p_dynamic(
+            logits, rng, temp=samp.temp, top_p=samp.top_p,
+            top_k=samp.top_k, k_max=logits.shape[-1],
+        )
+    else:
+        tok = sample_top_k_top_p(
+            logits, rng, temp=sampling.temp, top_p=sampling.top_p, top_k=sampling.top_k
+        )
     return jnp.where(
         tok == 0, token_cfg.im_end_id, token_cfg.semantic_start_id + tok - 1
     ).astype(jnp.int32)
@@ -106,26 +121,51 @@ def generate_frame(
     prev_tokens,  # (B, C+1) int32 or None on the prefill frame
     rng: jax.Array,
     *,
+    samp: "RowSampling" = None,
     use_fused_fast: bool = False,
     fused_interpret: bool = False,
 ) -> FrameResult:
     """Sample the semantic token, then run the fast transformer over the
     codebook axis to fill the remaining rows of the frame.
 
+    samp: per-row DEVICE sampling params (dynamic engines); `rng` is then
+    (B, 2) per-row key chains instead of one key, and `sampling` is
+    ignored for math (one compiled program serves any config). Static
+    engines pass samp=None and compile `sampling` in.
+
     The fast KV cache is created fresh every frame — the reference clears
     it per frame too (single_batch.rs:146); at num_codebooks entries it
     lives entirely in registers/VMEM once jitted.
     """
     b = logits.shape[0]
-    rng, sem_rng = jax.random.split(rng)
-    semantic = sample_semantic(logits, lm, token_cfg, cfg, sampling, sem_rng)
+    if samp is not None:
+        assert not use_fused_fast, (
+            "fused fast frame samples in-kernel with static knobs"
+        )
+        # one split per row: C+1 subkeys (semantic + each codebook step)
+        ks = jax.vmap(
+            lambda k: jax.random.split(k, cfg.num_codebooks + 1)
+        )(rng)  # (B, C+1, 2)
+        sem_rng = ks[:, 0]
+    else:
+        rng, sem_rng = jax.random.split(rng)
+    semantic = sample_semantic(
+        logits, lm, token_cfg, cfg, sampling, sem_rng, samp=samp
+    )
     is_eos = semantic == token_cfg.im_end_id
 
     # Repetition-penalty window update: push the previous frame's codebook
     # tokens, one slot per frame (reference: single_batch.rs:162-167 calls
     # apply(prev_frame_token) which pushes then divides). The prefill frame
     # has no previous tokens, so nothing is pushed.
-    rep_pen_enabled = not cfg.depthwise_wte and sampling.repetition_penalty != 1.0
+    if samp is not None:
+        # dynamic: the penalty value is a device operand; rows with 1.0
+        # divide by 1.0 (push cost is a few lanes — always on)
+        rep_pen_enabled = not cfg.depthwise_wte
+    else:
+        rep_pen_enabled = (
+            not cfg.depthwise_wte and sampling.repetition_penalty != 1.0
+        )
     if prev_tokens is not None and rep_pen_enabled:
         rep_pen = rep_pen.push(prev_tokens[:, 1:])
 
@@ -167,7 +207,8 @@ def generate_frame(
     # (traced codebook index into RoPE/cache/mask) compiles ~10x slower on
     # the TPU toolchain and runs no faster; the unrolled form is both the
     # simplest and the fastest here.
-    cb_rngs = jax.random.split(rng, cfg.num_codebooks)
+    if samp is None:
+        cb_rngs = jax.random.split(rng, cfg.num_codebooks)
     hist = fast_hist_init(cfg, b, hidden.dtype)
     x = hidden[:, None, :]
     toks = []
@@ -175,14 +216,26 @@ def generate_frame(
         cb_logits, hist = fast_step(params, cfg, x, hist, cb)
         if rep_pen_enabled:
             row = RepPenWindow(tokens=rep_pen.tokens[:, cb], ptr=rep_pen.ptr)
-            cb_logits = row.penalize(cb_logits, sampling.repetition_penalty)
-        tok = sample_top_k_top_p(
-            cb_logits,
-            cb_rngs[cb],
-            temp=sampling.temp,
-            top_p=sampling.top_p,
-            top_k=sampling.top_k,
-        )
+            if samp is not None:
+                cb_logits = row.penalize_rows(cb_logits, samp.rep_pen)
+            else:
+                cb_logits = row.penalize(
+                    cb_logits, sampling.repetition_penalty
+                )
+        if samp is not None:
+            tok = sample_top_k_top_p_dynamic(
+                cb_logits, ks[:, cb + 1], temp=samp.temp,
+                top_p=samp.top_p, top_k=samp.top_k,
+                k_max=cfg.codebook_size,
+            )
+        else:
+            tok = sample_top_k_top_p(
+                cb_logits,
+                cb_rngs[cb],
+                temp=sampling.temp,
+                top_p=sampling.top_p,
+                top_k=sampling.top_k,
+            )
         # EOS frames emit zero codebooks (reference: single_batch.rs:152-155)
         tok = jnp.where(is_eos, 0, tok)
         x = fast_embed(params, cfg, tok, cb)

@@ -102,6 +102,14 @@ class FireflyCodec:
         # compiler per program and blow compile time up by >10x on TPU.
         self._decode_jit = jax.jit(self._decode_fn)
         self._encode_jit = jax.jit(self._encode_fn)
+        self._decode_aot: Dict = {}  # (b, c, tb) -> AOT-wrapped decode
+        # Params identity for AOT seed keys (utils/aot.py): shapes+dtypes
+        # of every leaf, so a dtype flip (f32 vs bf16 vocoder) or a
+        # structure change can never hit a stale serialized program.
+        leaves = jax.tree_util.tree_leaves(params)
+        self._params_sig = tuple(
+            (tuple(l.shape), str(l.dtype)) for l in leaves
+        )
         self._step_jit: Dict = {}
         self._stream_init_cache: Dict = {}
 
@@ -122,6 +130,22 @@ class FireflyCodec:
                 return b
         return n  # beyond the largest bucket: compile exact size
 
+    def _decode_entry(self, b: int, c: int, tb: int):
+        """Per-shape decode program, routed through the AOT seed store
+        (utils/aot.py) so a cold process can skip the trace+lower of the
+        vocoder graph — same mechanism as the LM engine's programs."""
+        key = (b, c, tb)
+        if key not in self._decode_aot:
+            from fish_speech_tpu.utils import aot
+
+            self._decode_aot[key] = aot.wrap(
+                "codec_decode",
+                (self.cfg, self._params_sig, b, c, tb),
+                self._decode_jit,
+                enabled=jax.device_count() == 1,
+            )
+        return self._decode_aot[key]
+
     def decode(self, codes: np.ndarray) -> np.ndarray:
         """codes: (num_codebooks, T) or (B, C, T) -> (B, T*ds*hop) f32 PCM
         at 44.1 kHz, trimmed to the real length."""
@@ -134,7 +158,9 @@ class FireflyCodec:
         padded[:, :, :t] = codes
         lengths = jnp.full((b,), t, jnp.int32)
         audio = np.asarray(
-            self._decode_jit(self.params, jnp.asarray(padded), lengths)
+            self._decode_entry(b, c, tb)(
+                self.params, jnp.asarray(padded), lengths
+            )
         )
         real = t * self.cfg.quantizer.total_downsample * self.cfg.spec_transform.hop_length
         return audio[:, 0, :real]
@@ -193,6 +219,15 @@ class FireflyCodec:
         )
         return pcm[(t - start - new_frames) * spf :]
 
+    @property
+    def samples_per_frame(self) -> int:
+        """Output PCM samples per code frame (generic codec interface —
+        MimiCodec has the same property)."""
+        return (
+            self.cfg.quantizer.total_downsample
+            * self.cfg.spec_transform.hop_length
+        )
+
     def frames_for_samples(self, n_samples: int) -> int:
         f = num_frames(
             n_samples, self.cfg.spec_transform.n_fft, self.cfg.spec_transform.hop_length
@@ -249,8 +284,15 @@ class FireflyCodec:
             codes = codes[None]
         key = ("step", codes.shape)
         if key not in self._step_jit:
-            self._step_jit[key] = jax.jit(
-                lambda p, c, s: firefly_decode_step(c, p, self.cfg, s)
+            from fish_speech_tpu.utils import aot
+
+            self._step_jit[key] = aot.wrap(
+                "codec_step",
+                (self.cfg, self._params_sig, codes.shape),
+                jax.jit(
+                    lambda p, c, s: firefly_decode_step(c, p, self.cfg, s)
+                ),
+                enabled=jax.device_count() == 1,
             )
         audio, state = self._step_jit[key](
             self.params, jnp.asarray(codes, jnp.int32), state

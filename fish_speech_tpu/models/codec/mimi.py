@@ -790,6 +790,12 @@ class MimiCodec:
         start_stream is always available."""
         return True
 
+    @property
+    def samples_per_frame(self) -> int:
+        """Output PCM samples per code frame (generic codec interface —
+        FireflyCodec has the same property): 1920 at 24 kHz / 12.5 Hz."""
+        return int(round(self.sample_rate / self.cfg.frame_rate))
+
     def start_stream(
         self, batch: int = 1, max_step_frames: int = 32
     ) -> "MimiStreamSession":

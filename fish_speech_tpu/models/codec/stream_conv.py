@@ -176,6 +176,36 @@ class StreamSessionBase:
             return np.zeros((codes.shape[0], 0), np.float32)
         return np.concatenate(parts, axis=-1)
 
+    def feed_async(self, codes, pad_to=None):
+        """Dispatch ONE streaming decode step and return the PCM as a
+        DEVICE array (B, t'*spf) WITHOUT syncing — the overlapped
+        blocking driver (generate/overlap.py) queues vocode programs
+        behind LM decode chunks and fetches everything in one round trip
+        at the end.
+
+        pad_to: right-pad the codes to this many frames with zeros so
+        every feed hits ONE compiled program (the decode path is causal,
+        so padded future frames cannot alter the real frames' samples —
+        the caller trims the tail of the LAST feed). Bypasses feed()'s
+        power-of-two decomposition and its deliberate per-piece sync."""
+        import numpy as np
+
+        codes = np.asarray(codes)
+        if codes.ndim == 2:
+            codes = codes[None]
+        t = codes.shape[-1]
+        if pad_to is not None and t < pad_to:
+            pad = np.zeros(
+                (*codes.shape[:-1], pad_to - t), codes.dtype
+            )
+            codes = np.concatenate([codes, pad], axis=-1)
+        step = getattr(self.codec, "decode_step_async", None)
+        if step is not None:
+            audio, self.state = step(codes, self.state)
+        else:
+            audio, self.state = self.codec.decode_step(codes, self.state)
+        return audio, t
+
     def reset(self, batch=None) -> None:
         """Restart the stream (the reference's reset_state, mimi.rs:84-88).
         Keeps the session's batch size unless explicitly overridden."""

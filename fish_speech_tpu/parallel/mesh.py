@@ -94,12 +94,15 @@ def shard_lm_params(params: Dict, mesh: Mesh, cfg: DualARConfig) -> Dict:
     return _place_tree(params, lm_param_specs(cfg), mesh)
 
 
-def gen_state_specs(cfg: DualARConfig):
+def gen_state_specs(cfg: DualARConfig, per_row_rng: bool = False):
     """Shardings for the GenState pytree: batch rows over dp, KV cache
-    heads over tp (cache layout (L, B, KV, S, hd))."""
+    heads over tp (cache layout (L, B, KV, S, hd)).
+
+    per_row_rng: dynamic-sampling engines carry (B, 2) per-row key
+    chains (sharded over dp) instead of one replicated key."""
     from fish_speech_tpu.generate.engine import GenState
     from fish_speech_tpu.models.dual_ar import KVCache
-    from fish_speech_tpu.ops.sampling import RepPenWindow
+    from fish_speech_tpu.ops.sampling import RepPenWindow, RowSampling
 
     return GenState(
         cache=KVCache(
@@ -109,17 +112,20 @@ def gen_state_specs(cfg: DualARConfig):
         pos=P("dp"),
         prev=P("dp", None),
         rep_pen=RepPenWindow(tokens=P("dp", None, None), ptr=P()),
-        rng=P(),
+        rng=P("dp", None) if per_row_rng else P(),
         done=P("dp"),
+        samp=RowSampling(
+            temp=P("dp"), top_p=P("dp"), top_k=P("dp"), rep_pen=P("dp")
+        ),
     )
 
 
 def shard_gen_state(state, mesh: Mesh, cfg: DualARConfig):
     from fish_speech_tpu.generate.engine import GenState
     from fish_speech_tpu.models.dual_ar import KVCache
-    from fish_speech_tpu.ops.sampling import RepPenWindow
+    from fish_speech_tpu.ops.sampling import RepPenWindow, RowSampling
 
-    specs = gen_state_specs(cfg)
+    specs = gen_state_specs(cfg, per_row_rng=state.rng.ndim == 2)
 
     def place(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -137,4 +143,10 @@ def shard_gen_state(state, mesh: Mesh, cfg: DualARConfig):
         ),
         rng=place(state.rng, specs.rng),
         done=place(state.done, specs.done),
+        samp=RowSampling(
+            temp=place(state.samp.temp, specs.samp.temp),
+            top_p=place(state.samp.top_p, specs.samp.top_p),
+            top_k=place(state.samp.top_k, specs.samp.top_k),
+            rep_pen=place(state.samp.rep_pen, specs.samp.rep_pen),
+        ),
     )

@@ -219,12 +219,39 @@ class TTSPipeline:
         seed: Optional[int] = None,
     ) -> Iterator[SynthesisChunk]:
         """Generate per chunk with conditioning-prefix cache retention and
-        one reroll on suspected runaway (reference: speech.rs:19-71)."""
+        one reroll on suspected runaway (reference: speech.rs:19-71).
+
+        When the codec can stream (Fish 1.4+/Mimi, batch-1 engine), each
+        text chunk runs through the OVERLAPPED driver
+        (generate/overlap.py): LM decode chunks and vocode feeds pipeline
+        on the chip instead of vocoding after the generation completes
+        (which is all the reference can do, handlers/speech.rs:115-130).
+        A rerolled runaway discards the already-vocoded PCM — the rare
+        path wastes one vocode, the common path saves the vocoder wall."""
         max_new = max_new_tokens or self.max_new_tokens
         state = self.engine.init_state(seed)
-        cond_len = 0
-        for i, chunk_tokens in enumerate(encoded_chunks):
-            offset = cond_len if i > 0 else 0
+        overlap = (
+            self.engine.batch_size == 1
+            and getattr(self.codec, "can_stream", False)
+        )
+        if overlap:
+            from fish_speech_tpu.generate.overlap import (
+                generate_vocode_overlapped,
+            )
+
+        def _run(chunk_tokens, state, offset):
+            if overlap:
+                pcm, result, state = generate_vocode_overlapped(
+                    self.engine,
+                    self.codec,
+                    chunk_tokens,
+                    sampling=sampling,
+                    max_new_tokens=max_new,
+                    state=state,
+                    conditioning_offset=offset,
+                    shift_fn=self._shift_output_tokens,
+                )
+                return pcm, result, state
             result, state = self.engine.generate(
                 chunk_tokens,
                 max_new_tokens=max_new,
@@ -232,16 +259,16 @@ class TTSPipeline:
                 state=state,
                 conditioning_offset=offset,
             )
+            return None, result, state
+
+        cond_len = 0
+        for i, chunk_tokens in enumerate(encoded_chunks):
+            offset = cond_len if i > 0 else 0
+            pcm, result, state = _run(chunk_tokens, state, offset)
             if result.hit_max and self.reroll_on_runaway:
                 logger.warning("Suspected runaway generation; rerolling once")
                 state = self.engine.rewind(state, offset)
-                result, state = self.engine.generate(
-                    chunk_tokens,
-                    max_new_tokens=max_new,
-                    sampling=sampling,
-                    state=state,
-                    conditioning_offset=offset,
-                )
+                pcm, result, state = _run(chunk_tokens, state, offset)
                 if result.hit_max:
                     raise RuntimeError(
                         "Generation ran away twice; bailing (reference "
@@ -252,7 +279,8 @@ class TTSPipeline:
             state = self.engine.rewind(state, cond_len)
 
             codes = self._shift_output_tokens(result.tokens)
-            pcm = self.codec.decode(codes)[0]
+            if pcm is None:
+                pcm = self.codec.decode(codes)[0]
             yield SynthesisChunk(pcm=pcm, codes=codes, result=result)
 
     def synthesize_streaming(
@@ -452,8 +480,11 @@ class TTSPipeline:
 
     def create_batcher(self, rows: int = 16, horizon: int = 16):
         """Build a ContinuousBatcher over `rows` shared decode rows (the
-        BASELINE serving config targets 16 concurrent requests). Uses this
-        pipeline's default sampling (compiled into the decode program)."""
+        BASELINE serving config targets 16 concurrent requests). The
+        batched engine runs with DYNAMIC sampling: per-request
+        temp/top_p/top_k/rep-pen and seeds are device operands installed
+        at admission, so one compiled decode program serves any mix of
+        requests (pipeline default sampling is just the fallback)."""
         from fish_speech_tpu.generate.continuous import ContinuousBatcher
         from fish_speech_tpu.ops.sampling import BATCHED_REP_PEN_WINDOW
 
@@ -471,6 +502,7 @@ class TTSPipeline:
             dtype=e.dtype,
             mesh=e.mesh,
             quantize_int8=e.quantize_int8,
+            dynamic_sampling=True,
             _params_preprocessed=True,
         )
         shard_state = None
@@ -491,11 +523,16 @@ class TTSPipeline:
         voice_conditioning: Optional[np.ndarray] = None,
         sysprompt: Optional[str] = None,
         max_new_tokens: Optional[int] = None,
+        sampling: Optional[SamplingArgs] = None,
+        seed: Optional[int] = None,
     ) -> Iterator[np.ndarray]:
         """Yield PCM per text chunk through a shared continuous batcher.
         Unlike the serial path, many requests decode concurrently; this
         call only blocks on ITS chunks. Vocoding runs in the caller's
-        thread (the codec jit is independent of the batcher)."""
+        thread (the codec jit is independent of the batcher).
+
+        sampling/seed are per-request device operands on the batcher's
+        dynamic engine — no recompiles, deterministic streams per seed."""
         chunks = preprocess_text(text)
         if not chunks:
             return
@@ -508,7 +545,8 @@ class TTSPipeline:
             assume_kv_cache=True,
         )
         req = batcher.submit(
-            encoded, n_cond, max_new_tokens or self.max_new_tokens
+            encoded, n_cond, max_new_tokens or self.max_new_tokens,
+            sampling=sampling, seed=seed,
         )
         for chunk in req:
             codes = self._shift_output_tokens(chunk.tokens)
@@ -522,6 +560,8 @@ class TTSPipeline:
         voice_conditioning: Optional[np.ndarray] = None,
         sysprompt: Optional[str] = None,
         max_new_tokens: Optional[int] = None,
+        sampling: Optional[SamplingArgs] = None,
+        seed: Optional[int] = None,
     ) -> Iterator[np.ndarray]:
         """Sub-chunk streaming THROUGH the shared continuous batcher:
         PCM is yielded every scheduler tick (one decode horizon, default
@@ -547,7 +587,7 @@ class TTSPipeline:
 
         req = batcher.submit(
             encoded, n_cond, max_new_tokens or self.max_new_tokens,
-            stream=True,
+            stream=True, sampling=sampling, seed=seed,
         )
         can_stream = getattr(self.codec, "can_stream", False)
         session = None

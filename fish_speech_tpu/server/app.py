@@ -31,6 +31,7 @@ from aiohttp import web
 from fish_speech_tpu.audio.decode import decode_audio_bytes
 from fish_speech_tpu.audio.resample import StreamingResampler
 from fish_speech_tpu.audio.wav import pcm_to_wav_bytes
+from fish_speech_tpu.ops.sampling import SamplingArgs
 from fish_speech_tpu.pipeline import TTSPipeline
 
 logger = logging.getLogger(__name__)
@@ -148,6 +149,23 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
     # opt-in sub-chunk streaming: emit PCM every N LM frames instead of
     # per text chunk (carried-state streaming vocoder; serial engine)
     stream_chunk_frames = body.get("stream_chunk_frames")
+    # optional per-request sampling overrides (extension over the
+    # reference schema, handlers/speech.rs:238-247 — the reference has
+    # no per-request sampling at all)
+    sampling = None
+    if any(
+        k in body
+        for k in ("temperature", "top_p", "top_k", "repetition_penalty")
+    ):
+        d = state.pipeline.default_sampling
+        sampling = SamplingArgs(
+            temp=float(body.get("temperature", d.temp)),
+            top_p=float(body.get("top_p", d.top_p)),
+            top_k=int(body.get("top_k", d.top_k)),
+            repetition_penalty=float(
+                body.get("repetition_penalty", d.repetition_penalty)
+            ),
+        )
 
     conditioning = _resolve_voice(state, voice)
     pipeline = state.pipeline
@@ -157,13 +175,21 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
         sysprompt=sysprompt,
         seed=seed,
         max_new_tokens=max_new,
+        sampling=sampling,
     )
 
     # continuous-batching path: requests share decode rows, no global
-    # lock; used when a batcher is attached and the request doesn't need
-    # the serial-only features (explicit seed, in-request static batch)
-    use_batcher = (
-        state.batcher is not None and seed is None and not batch_size
+    # lock. A dynamic-sampling batcher engine (the default from
+    # pipeline.create_batcher) honors per-request seed/sampling as
+    # device operands, so seeded requests batch too; only a static
+    # batcher engine or in-request static batching fall back to the
+    # serial engine.
+    dyn = (
+        state.batcher is not None
+        and getattr(state.batcher.engine, "dynamic_sampling", False)
+    )
+    use_batcher = state.batcher is not None and not batch_size and (
+        dyn or (seed is None and sampling is None)
     )
     # Batched sub-chunk streaming emits at the batcher's horizon
     # granularity; a request asking for FINER chunks than the horizon
@@ -241,6 +267,8 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
                     voice_conditioning=conditioning,
                     sysprompt=sysprompt,
                     max_new_tokens=max_new,
+                    sampling=sampling,
+                    seed=seed,
                 )
                 await _stream(gen, as_pcm=True)
             else:
@@ -282,6 +310,8 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
                     voice_conditioning=conditioning,
                     sysprompt=sysprompt,
                     max_new_tokens=max_new,
+                    sampling=sampling,
+                    seed=seed,
                 )
             )
             return (
@@ -305,6 +335,7 @@ async def handle_speech(request: web.Request) -> web.StreamResponse:
                 sysprompt=sysprompt,
                 seed=seed,
                 max_new_tokens=max_new,
+                sampling=sampling,
             )
         else:
             pcm = await asyncio.to_thread(pipeline.synthesize, text, **kwargs)

@@ -11,19 +11,23 @@ serialize the lowered module once (`scripts/regen_aot_seed.py` on any
 machine with the target backend) and splice it back in with
 `jax.export.deserialize(...).call`, whose own wrapper trace is trivial.
 The XLA compile of the spliced module is still persistent-cache-covered
-(cache_seed/), so a fully seeded cold start pays neither trace nor
-compile.
+(cache_seed/ — regenerate it AFTER the AOT seeds, the spliced module's
+HLO hash differs from the directly-traced program's), so a fully seeded
+cold start pays neither trace nor compile.
 
 Safety model (mirrors cache_seed/): the artifact filename key hashes
-- jax version + backend platform,
-- a fingerprint of every compute-path source file (any edit to the
-  engine/model/ops invalidates every seed — conservative by design:
-  a stale module must never run silently),
+- jax + jaxlib versions, backend platform, and device kind,
+- a fingerprint of every compute-path source file, auto-derived from the
+  package's config.py + generate/ + models/ + ops/ trees plus this file
+  (any edit invalidates every seed — conservative by design: a stale
+  module must never run silently),
 - the per-program identity parts the caller passes (engine config repr,
   sampling args, bucket/horizon/unroll variants).
 A missing or mismatched key silently falls back to the normal traced
 path; `jax.export.deserialize` additionally enforces its own
-StableHLO/jaxlib compatibility checks.
+StableHLO/jaxlib compatibility checks, and a seed whose program fails on
+FIRST CALL (e.g. an aval drift the key missed) also falls back to the
+traced fn instead of crashing the engine.
 
 Reference counterpart: none — the reference (Rust/candle, eager) has no
 compile step to amortize. This is TPU/XLA-specific serving
@@ -38,28 +42,24 @@ import os
 from typing import Optional, Sequence
 
 logger = logging.getLogger(__name__)
+if os.environ.get("FISH_TPU_AOT_VERBOSE", "") == "1":
+    # scripts/regen_aot_seed.py's verify pass greps for the hit lines
+    logger.setLevel(logging.INFO)
+    logger.addHandler(logging.StreamHandler())
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 DEFAULT_AOT_DIR = os.path.join(_REPO_ROOT, "aot_seed")
 
-# Compute-path sources whose bytes feed every program key. Keep this
-# list wide: missing a file risks a silently-stale artifact, while an
-# extra file merely costs a regeneration.
-_FINGERPRINT_SOURCES = (
-    "fish_speech_tpu/config.py",
-    "fish_speech_tpu/generate/engine.py",
-    "fish_speech_tpu/generate/frame.py",
-    "fish_speech_tpu/models/dual_ar.py",
-    "fish_speech_tpu/ops/attention.py",
-    "fish_speech_tpu/ops/attention_pallas.py",
-    "fish_speech_tpu/ops/fast_frame_pallas.py",
-    "fish_speech_tpu/ops/prefill_pallas.py",
-    "fish_speech_tpu/ops/slow_step_pallas.py",
-    "fish_speech_tpu/ops/sampling.py",
-    "fish_speech_tpu/ops/quant.py",
-)
+# Compute-path sources whose bytes feed every program key, auto-derived:
+# every .py under these package trees is hashed, so a new op/model file
+# can never be silently missing from the fingerprint (the failure mode a
+# hand-maintained list had: ops/norms.py and ops/rope.py were absent).
+# parallel/ is deliberately excluded — sharded engines never use seeds
+# (aot.wrap is called with enabled=False when a mesh is present).
+_FINGERPRINT_DIRS = ("generate", "models", "ops")
+_FINGERPRINT_FILES = ("config.py", os.path.join("utils", "aot.py"))
 
 _source_fp_cache: Optional[str] = None
 
@@ -76,13 +76,23 @@ def export_mode() -> bool:
     return os.environ.get("FISH_TPU_AOT_EXPORT", "") == "1"
 
 
+def _fingerprint_paths() -> list:
+    pkg = os.path.join(_REPO_ROOT, "fish_speech_tpu")
+    paths = [os.path.join(pkg, f) for f in _FINGERPRINT_FILES]
+    for d in _FINGERPRINT_DIRS:
+        for root, _dirs, files in os.walk(os.path.join(pkg, d)):
+            for f in files:
+                if f.endswith(".py"):
+                    paths.append(os.path.join(root, f))
+    return sorted(paths)
+
+
 def _source_fingerprint() -> str:
     global _source_fp_cache
     if _source_fp_cache is None:
         h = hashlib.sha256()
-        for rel in _FINGERPRINT_SOURCES:
-            path = os.path.join(_REPO_ROOT, rel)
-            h.update(rel.encode())
+        for path in _fingerprint_paths():
+            h.update(os.path.relpath(path, _REPO_ROOT).encode())
             try:
                 with open(path, "rb") as f:
                     h.update(f.read())
@@ -94,11 +104,21 @@ def _source_fingerprint() -> str:
 
 def program_key(name: str, parts: Sequence[object]) -> str:
     import jax
+    import jaxlib.version
 
+    # jax and jaxlib can legitimately differ, and save() disables
+    # jax.export's custom-call stability checks on the strength of this
+    # key — so the key must pin BOTH versions plus the physical device
+    # kind (a Mosaic payload built for one TPU generation must not be
+    # spliced into a program for another).
+    devices = jax.devices()
+    device_kind = getattr(devices[0], "device_kind", "?") if devices else "?"
     ident = "\x1f".join(
         [
             jax.__version__,
+            jaxlib.version.__version__,
             jax.default_backend(),
+            device_kind,
             _source_fingerprint(),
             *[repr(p) for p in parts],
         ]
@@ -110,7 +130,7 @@ def _path_for(key: str) -> str:
     return os.path.join(aot_dir(), key + ".jaxexport")
 
 
-_pytrees_registered = False
+_registered_pytrees: set = set()
 
 
 def _register_pytree_serialization() -> None:
@@ -118,25 +138,34 @@ def _register_pytree_serialization() -> None:
     node crossing an exported program's boundary must be registered once
     per process, identically on the writer and the reader (the fq class
     names below are that contract)."""
-    global _pytrees_registered
-    if _pytrees_registered:
-        return
-    _pytrees_registered = True
     from jax import export as jax_export
 
     from fish_speech_tpu.generate.engine import GenState
     from fish_speech_tpu.generate.frame import FrameResult
     from fish_speech_tpu.models.dual_ar import KVCache
-    from fish_speech_tpu.ops.sampling import RepPenWindow
+    from fish_speech_tpu.ops.sampling import RepPenWindow, RowSampling
 
-    for cls in (GenState, FrameResult, KVCache, RepPenWindow):
+    for cls in (GenState, FrameResult, KVCache, RepPenWindow, RowSampling):
+        if cls in _registered_pytrees:
+            continue
         name = f"{cls.__module__}.{cls.__qualname__}"
         try:
             jax_export.register_namedtuple_serialization(
                 cls, serialized_name=name
             )
-        except ValueError:
-            pass  # already registered (e.g. two engines in one process)
+            _registered_pytrees.add(cls)
+        except ValueError as e:
+            # Only the benign double-registration of the SAME class is
+            # silent; anything else (e.g. a serialized-name collision
+            # with a different class) would surface later as a confusing
+            # deserialize failure, so say it now.
+            if "already registered" in str(e).lower():
+                _registered_pytrees.add(cls)
+            else:
+                logger.warning(
+                    "pytree serialization registration of %s failed: %s",
+                    name, e,
+                )
 
 
 def load(key: str, donate_argnums: Sequence[int] = ()):
@@ -167,8 +196,9 @@ def save(key: str, jit_fn, args) -> str:
     """Export `jit_fn` at the avals of `args` and write the artifact.
     Mosaic kernels lower to the `tpu_custom_call` custom call, which is
     outside jax.export's forward-compatibility guarantee — fine here:
-    seeds are consumed by the SAME jaxlib that wrote them (the key pins
-    the version), so the stability allowlist check is disabled for it."""
+    seeds are consumed by the SAME jax+jaxlib+device that wrote them
+    (program_key pins all three), so the stability allowlist check is
+    disabled for it."""
     from jax import export as jax_export
 
     _register_pytree_serialization()
@@ -207,17 +237,49 @@ class _ExportOnFirstCall:
         return self._jit_fn(*args)
 
 
+class _SeedWithFallback:
+    """Routes calls to a deserialized seed, permanently falling back to
+    the traced fn if the seed's program fails — e.g. the caller's
+    argument avals drifted from export time under an unchanged key (a
+    params-dict structure change not reflected in the identity parts).
+    The failure surfaces at TRACE time of the spliced wrapper, before
+    any donated buffer is consumed, so the fallback call is safe."""
+
+    def __init__(self, key: str, seed_fn, jit_fn):
+        self._key = key
+        self._fn = seed_fn
+        self._jit_fn = jit_fn
+        self._validated = False
+
+    def __call__(self, *args):
+        if self._validated:
+            return self._fn(*args)
+        try:
+            out = self._fn(*args)
+            self._validated = True
+            return out
+        except Exception as e:
+            logger.warning(
+                "AOT seed %s failed on first call (%s); falling back to "
+                "the traced path", self._key, e,
+            )
+            self._fn = self._jit_fn
+            self._validated = True
+            return self._fn(*args)
+
+
 def wrap(name: str, parts: Sequence[object], jit_fn, donate_argnums=(),
          enabled: bool = True):
     """The one engine-facing entry point: given a freshly-jitted program
     and its identity, return (in order of preference) a deserialized
-    seed, an exporting wrapper (export mode only), or the fn unchanged."""
+    seed (guarded by a first-call fallback), an exporting wrapper
+    (export mode only), or the fn unchanged."""
     if not enabled:
         return jit_fn
     key = program_key(name, parts)
     loaded = load(key, donate_argnums)
     if loaded is not None:
-        return loaded
+        return _SeedWithFallback(key, loaded, jit_fn)
     if export_mode():
         return _ExportOnFirstCall(key, jit_fn)
     return jit_fn
