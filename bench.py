@@ -775,6 +775,144 @@ def verify_fused_kernels() -> None:
         f"vs {np.asarray(qgot.tokens)}"
     )
 
+    # -- batched kernels (r4): B-row slow step + dynamic fast frame --------
+    from fish_speech_tpu.ops.sampling import RowSampling
+
+    bsz = 8
+    bcache = KVCache(
+        k=jnp.asarray(
+            rng.normal(size=(cfg.n_layer, bsz, cfg.n_local_heads, 256, cfg.head_dim)) * 0.3, dt
+        ),
+        v=jnp.asarray(
+            rng.normal(size=(cfg.n_layer, bsz, cfg.n_local_heads, 256, cfg.head_dim)) * 0.3, dt
+        ),
+    )
+    btokens = jnp.asarray(
+        rng.integers(0, 200, (bsz, cfg.num_codebooks + 1)), jnp.int32
+    )
+    bpos = jnp.asarray(rng.choice(200, size=bsz, replace=False), jnp.int32)
+    bref_logits, bref_hidden, bref_cache = slow_decode_step(
+        params, cfg, tok, btokens, bcache, bpos
+    )
+    bx0 = embed_tokens(params, cfg, tok, btokens[:, :, None])[:, 0, :]
+    bgot_logits, bgot_hidden, bck2, bcv2 = fused_slow_step(
+        params, cfg, bx0, bpos, bcache.k, bcache.v
+    )
+    bslow_err = float(
+        jnp.max(jnp.abs(bref_logits.astype(jnp.float32) - bgot_logits))
+    )
+    bpos_np = np.asarray(bpos)
+    brows_eq = all(
+        bool(
+            jnp.all(
+                bcache.k[:, i, :, np.arange(256) != bpos_np[i]]
+                == bck2[:, i, :, np.arange(256) != bpos_np[i]]
+            )
+        )
+        for i in range(bsz)
+    )
+    log(
+        f"fused slow step batched (B={bsz}): logits max-err "
+        f"{bslow_err:.4f}, untouched rows exact: {brows_eq}"
+    )
+    assert bslow_err < 0.5, f"batched slow step divergence {bslow_err}"
+    assert brows_eq, "batched slow step disturbed untouched cache rows"
+
+    # All rows argmax (temp=0) with mixed rep-pen/top-k operands. Sampled
+    # rows are checked bit-exact on CPU (tests/test_fast_frame.py) but not
+    # here — the kernel's and XLA's softmax/log differ by ulps on TPU
+    # transcendentals, which can flip a near-boundary stochastic pick
+    # (same distribution, still seed-deterministic per program). Even at
+    # temp=0 the contract on hardware is exact-OR-near-tie: the kernel's
+    # logits carry ~5e-3 reduction-order error vs the XLA lowering (the
+    # MXU sums in a different order), so when the XLA top-2 penalized
+    # logits sit closer than that band, argmax can legitimately flip
+    # (measured on hardware 2026-08-19: a flip at top-2 gap 0.0039).
+    # On a mismatch we replay the XLA fast stack to the FIRST diverging
+    # codebook step per row — where both paths still saw identical
+    # inputs — and accept iff the gap between the two candidates is
+    # inside the rounding band; everything after a legitimate flip is
+    # cascade and not compared.
+    bsamp = RowSampling(
+        temp=jnp.zeros((bsz,), jnp.float32),
+        top_p=jnp.asarray([1.0, 0.8, 0.6, 0.95, 0.5, 1.0, 0.8, 0.7][:bsz]),
+        top_k=jnp.asarray([0, 64, 4, 32, 1, 256, 16, 8][:bsz], jnp.int32),
+        rep_pen=jnp.asarray([1.0, 1.3, 1.5, 1.1, 1.0, 1.4, 1.2, 1.0][:bsz]),
+    )
+    blogits_w = jnp.asarray(
+        rng.normal(size=(bsz, params["output"].shape[1])) * 2.0, jnp.float32
+    )
+    bhidden = jnp.asarray(rng.normal(size=(bsz, cfg.dim)) * 0.3, dt)
+    brp = RepPenWindow.init((bsz, cfg.num_codebooks), 12)
+    bprev = jnp.asarray(
+        rng.integers(0, cfg.codebook_size, (bsz, cfg.num_codebooks + 1)),
+        jnp.int32,
+    )
+    bkeys = jnp.stack([jax.random.PRNGKey(50 + i) for i in range(bsz)])
+    bref = framemod.generate_frame(
+        params, cfg, tok, WhichLM.FISH_1_5, sampling, blogits_w, bhidden,
+        brp, bprev, bkeys, samp=bsamp,
+    )
+    bgot = framemod.generate_frame(
+        params, cfg, tok, WhichLM.FISH_1_5, sampling, blogits_w, bhidden,
+        brp, bprev, bkeys, samp=bsamp, use_fused_fast=True,
+    )
+    b_r = np.asarray(bref.tokens)
+    b_g = np.asarray(bgot.tokens)
+    b_eq = bool(np.array_equal(b_r, b_g))
+    log(f"fused fast frame batched dynamic (B={bsz}): tokens equal: {b_eq}")
+    if not b_eq:
+        from fish_speech_tpu.models.dual_ar import (
+            fast_embed,
+            fast_hist_init,
+            fast_step,
+        )
+
+        # First diverging codebook step per row; column 0 (semantic) is
+        # computed outside the kernel by both paths and must match.
+        first: dict[int, int] = {}
+        for row_i in range(bsz):
+            diffs = np.nonzero(b_r[row_i] != b_g[row_i])[0]
+            if diffs.size:
+                assert diffs[0] >= 1, (
+                    f"semantic column diverged on row {row_i}: "
+                    f"{b_r[row_i]} vs {b_g[row_i]}"
+                )
+                first[row_i] = int(diffs[0]) - 1
+        # Replay the XLA fast stack along the shared trajectory (rows
+        # agree up to their first divergence, so feeding the XLA tokens
+        # forward IS the shared trajectory at every step that matters).
+        rp_after = brp.push(bprev[:, 1:])
+        hist = fast_hist_init(cfg, bsz, bhidden.dtype)
+        x = bhidden[:, None, :]
+        ntol = 0.02  # kernel-vs-XLA reduction-order logit band (~5e-3
+        # measured above on these weights) with margin
+        for cb in range(cfg.num_codebooks):
+            cb_logits, hist = fast_step(params, cfg, x, hist, cb)
+            rpl = RepPenWindow(
+                tokens=rp_after.tokens[:, cb], ptr=rp_after.ptr
+            )
+            cb_logits = rpl.penalize_rows(cb_logits, bsamp.rep_pen)
+            L = np.asarray(cb_logits, np.float32)
+            for row_i, fcb in first.items():
+                if fcb == cb:
+                    gap = abs(
+                        L[row_i, b_r[row_i, cb + 1]]
+                        - L[row_i, b_g[row_i, cb + 1]]
+                    )
+                    log(
+                        f"  row {row_i} cb {cb}: argmax flip ref "
+                        f"{b_r[row_i, cb + 1]} vs kernel "
+                        f"{b_g[row_i, cb + 1]}, XLA top-2 gap {gap:.5f} "
+                        f"({'near-tie, accepted' if gap <= ntol else 'REAL divergence'})"
+                    )
+                    assert gap <= ntol, (
+                        f"batched fast frame REAL divergence on row "
+                        f"{row_i} cb {cb}: gap {gap:.5f} > {ntol}; "
+                        f"{b_r} vs {b_g}"
+                    )
+            x = fast_embed(params, cfg, jnp.asarray(b_r[:, cb + 1]), cb)
+
     # -- flash prefill attention (ops/prefill_pallas.py) -------------------
     from fish_speech_tpu.ops.attention import NEG_INF, gqa_attention
     from fish_speech_tpu.ops.prefill_pallas import flash_prefill_attention

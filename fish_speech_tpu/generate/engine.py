@@ -189,44 +189,58 @@ class LMEngine:
             self.use_pallas and jax.default_backend() != "tpu"
         )
         # Whole-frame fused fast-stack kernel (ops/fast_frame_pallas.py):
-        # single-row engines on a single device only — batched engines
-        # amortize the 8x fast-weight re-read across rows and keep XLA.
+        # single-device engines. Static-sampling engines use the B=1
+        # kernel (in-kernel sampler with compiled-in knobs); dynamic-
+        # sampling engines (the batcher) use the BATCHED variant whose
+        # per-request params ride in as SMEM operands — B rows share one
+        # VMEM weight fetch per frame instead of XLA's 8x re-read.
         # "auto" -> on for TPU; "fused" forces it (interpret mode off-TPU,
         # for parity tests); "xla" disables.
         from fish_speech_tpu.ops.fast_frame_pallas import (
+            fused_fast_frame_batched_supported,
             fused_fast_frame_supported,
         )
 
-        fused_ok = (
-            (mesh is None or mesh.size == 1)
-            and not dynamic_sampling  # in-kernel sampler needs static knobs
-            and fused_fast_frame_supported(cfg, params, batch_size)
-        )
+        if dynamic_sampling:
+            fused_ok = (
+                (mesh is None or mesh.size == 1)
+                and fused_fast_frame_batched_supported(
+                    cfg, params, batch_size
+                )
+            )
+        else:
+            fused_ok = (
+                (mesh is None or mesh.size == 1)
+                and fused_fast_frame_supported(cfg, params, batch_size)
+            )
         if fast_frame_impl == "auto":
             self.use_fused_fast = fused_ok and jax.default_backend() == "tpu"
         else:
             self.use_fused_fast = fast_frame_impl == "fused"
             if self.use_fused_fast and not fused_ok:
                 raise ValueError(
-                    "fast_frame_impl='fused' requires batch_size=1 and a "
-                    "single device"
+                    "fast_frame_impl='fused' requires a single device and "
+                    "batch_size=1 (static engines) or batch_size<=32 "
+                    "(dynamic_sampling engines)"
                 )
         self.fused_fast_interpret = (
             self.use_fused_fast and jax.default_backend() != "tpu"
         )
         # Whole-step fused slow-stack kernel (ops/slow_step_pallas.py):
-        # same eligibility shape as the fast-frame kernel — batch-1
-        # engines on a single device (bf16/f32 or int8-quantized; int8
-        # halves the kernel's HBM weight traffic). Logits agree with the
-        # XLA lowering to ~2 ulp (reduction-order), token streams are
-        # checked equal in tests/test_slow_step.py.
+        # single-device engines, batch-1 OR batched within the VMEM/
+        # compute bounds of fused_slow_step_supported (bf16/f32 or
+        # int8-quantized; int8 halves the kernel's HBM weight traffic).
+        # Logits agree with the XLA lowering to ~2 ulp (reduction-order),
+        # token streams are checked equal in tests/test_slow_step.py.
         from fish_speech_tpu.ops.slow_step_pallas import (
             fused_slow_step_supported,
         )
 
         slow_ok = (
             (mesh is None or mesh.size == 1)
-            and fused_slow_step_supported(cfg, params, batch_size)
+            and fused_slow_step_supported(
+                cfg, params, batch_size, cache_len or cfg.max_seq_len
+            )
         )
         if slow_impl == "auto":
             self.use_fused_slow = slow_ok and jax.default_backend() == "tpu"
@@ -234,8 +248,9 @@ class LMEngine:
             self.use_fused_slow = slow_impl == "fused"
             if self.use_fused_slow and not slow_ok:
                 raise ValueError(
-                    "slow_impl='fused' requires batch_size=1 and a "
-                    "single device"
+                    "slow_impl='fused' requires a single device and a "
+                    "batch x cache_len within the kernel's VMEM bounds "
+                    "(ops/slow_step_pallas.fused_slow_step_supported)"
                 )
         self.fused_slow_interpret = (
             self.use_fused_slow and jax.default_backend() != "tpu"

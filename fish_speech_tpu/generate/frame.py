@@ -139,9 +139,6 @@ def generate_frame(
     """
     b = logits.shape[0]
     if samp is not None:
-        assert not use_fused_fast, (
-            "fused fast frame samples in-kernel with static knobs"
-        )
         # one split per row: C+1 subkeys (semantic + each codebook step)
         ks = jax.vmap(
             lambda k: jax.random.split(k, cfg.num_codebooks + 1)
@@ -168,6 +165,36 @@ def generate_frame(
         )
     if prev_tokens is not None and rep_pen_enabled:
         rep_pen = rep_pen.push(prev_tokens[:, 1:])
+
+    if use_fused_fast and samp is not None:
+        # Batched dynamic variant: B rows share ONE VMEM weight fetch per
+        # frame (the XLA loop re-reads the fast stack per codebook step —
+        # 8x/frame), per-request sampling params ride in as SMEM
+        # operands. Gumbel draws are made OUTSIDE with the exact keys and
+        # shapes sample_top_k_top_p_dynamic uses, so both paths sample
+        # identically (token-parity: tests/test_fast_frame.py).
+        from fish_speech_tpu.ops.fast_frame_pallas import (
+            fused_fast_frame_batched,
+        )
+
+        k_dyn = cfg.codebook_size
+        keys_flat = ks[:, 1:].reshape(b * cfg.num_codebooks, 2)
+        gum = jax.vmap(
+            lambda kk: jax.random.gumbel(kk, (k_dyn,), dtype=jnp.float32)
+        )(keys_flat).reshape(b, cfg.num_codebooks, k_dyn)
+        toks = fused_fast_frame_batched(
+            params,
+            cfg,
+            samp,
+            hidden,
+            rep_pen.tokens,
+            gum,
+            is_eos,
+            rep_enabled=rep_pen_enabled,
+            interpret=fused_interpret,
+        )  # (B, C)
+        frame = jnp.concatenate([semantic[:, None], toks], axis=1)
+        return FrameResult(tokens=frame, is_eos=is_eos, rep_pen=rep_pen)
 
     if use_fused_fast:
         # Whole-frame Pallas kernel: all codebook steps (fast layers,

@@ -512,6 +512,415 @@ def fused_fast_frame(
     return out[0]
 
 
+def _make_kernel_batched(cfg: DualARConfig, *, rep_enabled: bool,
+                         quantized: bool, b_rows: int):
+    """Batched variant (round 4): B decode rows share ONE VMEM weight
+    fetch per frame, with PER-ROW dynamic sampling parameters
+    (temp/top_p/top_k/penalty from SMEM) mirroring
+    ops/sampling.sample_top_k_top_p_dynamic — the continuous batcher's
+    decode rows run mixed per-request configs through one program.
+    Layer math batches rows on the MXU; attention (C <= 8 positions) and
+    the sampler loop rows statically."""
+    d, h, kv, hd = cfg.dim, cfg.n_head, cfg.n_local_heads, cfg.head_dim
+    n_layers, n_cb = cfg.n_fast_layer, cfg.num_codebooks
+    cb_size = cfg.codebook_size
+    eps = cfg.norm_eps
+    scale = 1.0 / (hd**0.5)
+    vocab = cb_size
+    k_dyn = vocab  # dynamic sampler's static top_k cap (k_max = cb_size)
+
+    def kernel(
+        x0_ref,        # (B, D) slow hiddens
+        an_ref,        # (L, D)
+        wqkv_ref,      # (L, D, QKV)
+        wo_ref,        # (L, D, D)
+        fn_ref,        # (L, D)
+        w1_ref,        # (L, D, F)
+        w3_ref,        # (L, D, F)
+        w2_ref,        # (L, F, D)
+        *rest,
+    ):
+        if quantized:
+            (sqkv_ref, so_ref, s1_ref, s3_ref, s2_ref) = rest[:5]
+            rest = rest[5:]
+        else:
+            sqkv_ref = so_ref = s1_ref = s3_ref = s2_ref = None
+        (
+            fnorm_ref,     # (1, D)
+            head_ref,      # (D, cb_size) block
+            emb_ref,       # (vocab, D) block
+            e_ref,         # (D, KV*hd)
+            r_ref,         # (H, D) f32
+            p_ref,         # (QKV, QKV)
+            cosf_ref,      # (C, QKV) f32
+            sinf_ref,      # (C, QKV) f32
+            rp_ref,        # (B, C, W) int32
+            gum_ref,       # (B, C, V) f32 — per-row per-step draws
+            temp_ref,      # (1, B) f32 SMEM
+            topp_ref,      # (1, B) f32 SMEM
+            topk_ref,      # (1, B) i32 SMEM
+            pen_ref,       # (1, B) f32 SMEM
+            eos_ref,       # (1, B) i32 SMEM
+            out_ref,       # (B, C) int32 (constant window)
+            x_s,           # VMEM scratch (B, D)
+            k_s,           # VMEM scratch (L, B, C, KV*hd)
+            v_s,           # VMEM scratch (L, B, C, KV*hd)
+        ) = rest
+
+        def _wdot(xv, w_ref, s_ref, l):
+            if not quantized:
+                return jnp.dot(
+                    xv, w_ref[l], preferred_element_type=jnp.float32
+                ).astype(xv.dtype)
+            y = jnp.dot(
+                xv, w_ref[l].astype(xv.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(xv.dtype)
+            return y * s_ref[l, 0, :].astype(xv.dtype)
+
+        cb = pl.program_id(0)
+        e_m = e_ref[...]
+        r_m = r_ref[...]
+        p_m = p_ref[...]
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (n_cb, 1), 0)
+        row_sel = iota_c == cb  # (C, 1)
+
+        def _row(ref2d):
+            return jnp.sum(
+                jnp.where(row_sel, ref2d.astype(jnp.float32), 0.0),
+                axis=0,
+                keepdims=True,
+            )
+
+        x = jnp.where(cb == 0, x0_ref[...], x_s[...])  # (B, D)
+        cosf = _row(cosf_ref[...])  # (1, QKV) — position == cb, row-shared
+        sinf = _row(sinf_ref[...])
+
+        for l in range(n_layers):
+            hN = _rms_flat(x, an_ref[l, :], eps)
+            qkv_f = _wdot(hN, wqkv_ref, sqkv_ref, l)  # (B, QKV)
+            perm = jnp.dot(
+                qkv_f, p_m, preferred_element_type=jnp.float32
+            )
+            rot = (
+                qkv_f.astype(jnp.float32) * cosf + perm * sinf
+            ).astype(qkv_f.dtype)
+            q_flat = rot[:, :d]                      # (B, D)
+            k_flat = rot[:, d : d + kv * hd]         # (B, KV*hd)
+            v_flat = qkv_f[:, d + kv * hd :]         # (B, KV*hd)
+            sel = iota_c == cb  # (C, 1)
+            attn_rows = []
+            for b in range(b_rows):
+                k_prev = jnp.where(
+                    cb == 0, 0.0, k_s[l, b].astype(jnp.float32)
+                )
+                v_prev = jnp.where(
+                    cb == 0, 0.0, v_s[l, b].astype(jnp.float32)
+                )
+                k_s[l, b] = jnp.where(
+                    sel, k_flat[b : b + 1].astype(jnp.float32), k_prev
+                ).astype(x.dtype)
+                v_s[l, b] = jnp.where(
+                    sel, v_flat[b : b + 1].astype(jnp.float32), v_prev
+                ).astype(x.dtype)
+                ks = k_s[l, b]  # (C, KV*hd)
+                vs = v_s[l, b]
+                k_aligned = jnp.dot(
+                    e_m, ks.T, preferred_element_type=jnp.float32
+                )  # (D, C)
+                prod = (
+                    q_flat[b : b + 1].T.astype(jnp.float32) * k_aligned
+                )
+                scores = (
+                    jnp.dot(r_m, prod, preferred_element_type=jnp.float32)
+                    * scale
+                )  # (H, C)
+                pos_ok = (
+                    jax.lax.broadcasted_iota(jnp.int32, (h, n_cb), 1)
+                    <= cb
+                )
+                scores = jnp.where(pos_ok, scores, NEG_INF)
+                w = jnp.exp(
+                    scores - jnp.max(scores, axis=-1, keepdims=True)
+                )
+                w = w / jnp.sum(w, axis=-1, keepdims=True)
+                w = w.astype(x.dtype).astype(jnp.float32)
+                w_lanes = jnp.dot(
+                    r_m.T, w, preferred_element_type=jnp.float32
+                )  # (D, C)
+                v_aligned = jnp.dot(
+                    e_m, vs.T, preferred_element_type=jnp.float32
+                )
+                attn_rows.append(
+                    jnp.sum(w_lanes * v_aligned, axis=-1)[None, :].astype(
+                        x.dtype
+                    )
+                )
+            attn_flat = (
+                jnp.concatenate(attn_rows, axis=0)
+                if b_rows > 1
+                else attn_rows[0]
+            )  # (B, D)
+            x = x + _wdot(attn_flat, wo_ref, so_ref, l)
+            h2 = _rms_flat(x, fn_ref[l, :], eps)
+            if quantized:
+                gate = jax.nn.silu(
+                    _wdot(h2, w1_ref, s1_ref, l).astype(jnp.float32)
+                ).astype(x.dtype)
+            else:
+                gate = jax.nn.silu(
+                    jnp.dot(h2, w1_ref[l], preferred_element_type=jnp.float32)
+                ).astype(x.dtype)
+            w3h = _wdot(h2, w3_ref, s3_ref, l)
+            x = x + _wdot(gate * w3h, w2_ref, s2_ref, l)
+
+        fast_out = _rms_flat(x, fnorm_ref[0, :], eps)  # (B, D)
+        logits_all = jnp.dot(
+            fast_out, head_ref[...], preferred_element_type=jnp.float32
+        ).astype(jnp.float32)  # (B, V)
+
+        # per-row dynamic sampling, mirroring
+        # ops/sampling.sample_top_k_top_p_dynamic exactly
+        tok_cols = []
+        for b in range(b_rows):
+            logits = logits_all[b : b + 1]  # (1, V)
+            if rep_enabled:
+                win = jnp.sum(
+                    jnp.where(row_sel, rp_ref[b], 0), axis=0, keepdims=True
+                )  # (1, W)
+                member = jnp.any(win.T == iota_v, axis=0)[None, :]
+                divisor = jnp.where(member, pen_ref[0, b], 1.0)
+                logits = logits / divisor
+            temp_b = temp_ref[0, b]
+            t_eff = jnp.maximum(temp_b, 1e-6)
+            p_row = jax.nn.softmax(logits / t_eff, axis=-1)  # (1, V)
+            pv = p_row[0, :]
+            ti = min(256, vocab)
+            rank_f = jnp.zeros((vocab, 1), jnp.float32)
+            cum_f = jnp.zeros((vocab, 1), jnp.float32)
+            for jb in range(0, vocab, ti):
+                tw = min(ti, vocab - jb)
+                pj = pv[jb : jb + tw]
+                iota_j = (
+                    jax.lax.broadcasted_iota(jnp.int32, (vocab, tw), 1)
+                    + jb
+                )
+                iota_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (vocab, tw), 0
+                )
+                cmp = (pj[None, :] > pv[:, None]) | (
+                    (pj[None, :] == pv[:, None]) & (iota_j < iota_i)
+                )
+                cf = cmp.astype(jnp.float32)
+                rank_f = rank_f + jnp.sum(cf, axis=1, keepdims=True)
+                cum_f = cum_f + jnp.dot(
+                    cf, pj[:, None], preferred_element_type=jnp.float32
+                )
+            rank = rank_f[:, 0].astype(jnp.int32)  # (V,)
+            cum_excl = cum_f[:, 0]
+            # dynamic operand semantics: top_k <= 0 or > k -> all;
+            # top_p outside (0, 1) -> disabled
+            tk = topk_ref[0, b]
+            k_eff_b = jnp.where((tk <= 0) | (tk > k_dyn), k_dyn, tk)
+            tp = topp_ref[0, b]
+            p_eff_b = jnp.where((tp <= 0.0) | (tp >= 1.0), 1.0, tp)
+            keep = (rank < k_eff_b) & (cum_excl < p_eff_b)
+            # gumbel by rank: g_tok[i] = gum[b, cb, rank[i]]
+            oh = (
+                rank[:, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (vocab, k_dyn), 1)
+            ).astype(jnp.float32)
+            g_row = _row(gum_ref[b])  # (1, V) — this step's draws
+            g_tok = jnp.dot(
+                oh, g_row[0, :][:, None],
+                preferred_element_type=jnp.float32,
+            )[:, 0]
+            score = jnp.where(keep, jnp.log(pv) + g_tok, NEG_INF)
+            m = jnp.max(score)
+            cand = jnp.where(score == m, iota_v[0, :], vocab)
+            tok_sampled = jnp.min(cand)
+            # argmax rows (temp ~ 0): rank-0 token, ties by lowest index
+            cand_am = jnp.where(rank == 0, iota_v[0, :], vocab)
+            tok_argmax = jnp.min(cand_am)
+            tok = jnp.where(temp_b <= 1e-7, tok_argmax, tok_sampled)
+            tok = jnp.where(eos_ref[0, b] != 0, 0, tok)
+            tok_cols.append(tok.reshape(1, 1))
+        tok_col = (
+            jnp.concatenate(tok_cols, axis=0)
+            if b_rows > 1
+            else tok_cols[0]
+        )  # (B, 1)
+
+        acc = jnp.where(cb == 0, 0, out_ref[...])
+        out_ref[...] = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (b_rows, n_cb), 1) == cb,
+            tok_col,
+            acc,
+        )
+        oh_e = (
+            jax.lax.broadcasted_iota(jnp.int32, (b_rows, vocab), 1)
+            == tok_col
+        ).astype(emb_ref.dtype)  # (B, V)
+        x_s[...] = jnp.dot(
+            oh_e, emb_ref[...], preferred_element_type=jnp.float32
+        ).astype(x0_ref.dtype)  # (B, D)
+
+    return kernel
+
+
+def fused_fast_frame_batched(
+    params,
+    cfg: DualARConfig,
+    samp,                     # RowSampling — per-row device params
+    hidden: jnp.ndarray,      # (B, D) slow hiddens
+    rp_tokens: jnp.ndarray,   # (B, C, W) int32 window tokens (post-push)
+    gumbel: jnp.ndarray,      # (B, C, V) f32 — same draws the XLA path makes
+    is_eos: jnp.ndarray,      # (B,) bool
+    *,
+    rep_enabled: bool,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns (B, C) int32 codebook tokens for one frame. The dynamic
+    counterpart of `fused_fast_frame`: one VMEM weight fetch per frame
+    shared by all B rows (the XLA path re-reads the fast stack once per
+    codebook step — ~8x per frame), with per-request sampling params as
+    SMEM operands."""
+    d, h, kv, hd = cfg.dim, cfg.n_head, cfg.n_local_heads, cfg.head_dim
+    qkv = (h + 2 * kv) * hd
+    n_cb = cfg.num_codebooks
+    cb_size = cfg.codebook_size
+    b = hidden.shape[0]
+    e_np, r_np, p_np = _constants(d, h, kv, hd, qkv)
+    cos_flat, sin_flat = _rope_lane_tables(cfg)
+    act_dtype = hidden.dtype
+
+    fast = params["fast"]
+    quantized = isinstance(fast["wqkv"], dict)
+    if quantized:
+        wq = {k: fast[k]["q"] for k in ("wqkv", "wo", "w1", "w3", "w2")}
+        ws = {k: fast[k]["s"] for k in ("wqkv", "wo", "w1", "w3", "w2")}
+    else:
+        wq = {k: fast[k] for k in ("wqkv", "wo", "w1", "w3", "w2")}
+        ws = None
+    lay = wq["wqkv"].shape[0]
+    f_dim = wq["w1"].shape[2]
+    kernel = _make_kernel_batched(
+        cfg, rep_enabled=rep_enabled, quantized=quantized, b_rows=b
+    )
+
+    const2 = lambda i: (0, 0)
+    const3 = lambda i: (0, 0, 0)
+    in_specs = [
+        pl.BlockSpec((b, d), const2),                   # x0
+        pl.BlockSpec((lay, d), const2),                 # attention_norm
+        pl.BlockSpec((lay, d, qkv), const3),            # wqkv
+        pl.BlockSpec((lay, d, d), const3),              # wo
+        pl.BlockSpec((lay, d), const2),                 # ffn_norm
+        pl.BlockSpec((lay, d, f_dim), const3),          # w1
+        pl.BlockSpec((lay, d, f_dim), const3),          # w3
+        pl.BlockSpec((lay, f_dim, d), const3),          # w2
+    ]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((lay, 1, qkv), const3),
+            pl.BlockSpec((lay, 1, d), const3),
+            pl.BlockSpec((lay, 1, f_dim), const3),
+            pl.BlockSpec((lay, 1, f_dim), const3),
+            pl.BlockSpec((lay, 1, d), const3),
+        ]
+    in_specs += [
+        pl.BlockSpec((1, d), const2),                   # fast_norm
+        pl.BlockSpec(
+            (d, cb_size),
+            (lambda i: (0, i)) if cfg.depthwise_output else const2,
+        ),
+        pl.BlockSpec(
+            (cb_size, d),
+            (lambda i: (i, 0)) if cfg.depthwise_wte else const2,
+        ),
+        pl.BlockSpec((d, kv * hd), const2),             # E
+        pl.BlockSpec((h, d), const2),                   # R
+        pl.BlockSpec((qkv, qkv), const2),               # P
+        pl.BlockSpec((n_cb, qkv), const2),              # cos table
+        pl.BlockSpec((n_cb, qkv), const2),              # sin table
+        pl.BlockSpec((b, n_cb, rp_tokens.shape[-1]), const3),  # rp windows
+        pl.BlockSpec((b, n_cb, cb_size), const3),       # gumbel draws
+        pl.BlockSpec((1, b), const2, memory_space=pltpu.SMEM),  # temp
+        pl.BlockSpec((1, b), const2, memory_space=pltpu.SMEM),  # top_p
+        pl.BlockSpec((1, b), const2, memory_space=pltpu.SMEM),  # top_k
+        pl.BlockSpec((1, b), const2, memory_space=pltpu.SMEM),  # penalty
+        pl.BlockSpec((1, b), const2, memory_space=pltpu.SMEM),  # is_eos
+    ]
+    operands = [
+        hidden,
+        fast["attention_norm"],
+        wq["wqkv"],
+        wq["wo"],
+        fast["ffn_norm"],
+        wq["w1"],
+        wq["w3"],
+        wq["w2"],
+    ]
+    if quantized:
+        operands += [ws["wqkv"], ws["wo"], ws["w1"], ws["w3"], ws["w2"]]
+    operands += [
+        params["fast_norm"][None, :],
+        params["fast_output"],
+        params["fast_embeddings"][: (
+            n_cb * cb_size if cfg.depthwise_wte else cb_size
+        )],
+        jnp.asarray(e_np, act_dtype),
+        jnp.asarray(r_np, jnp.float32),
+        jnp.asarray(p_np, act_dtype),
+        jnp.asarray(cos_flat),
+        jnp.asarray(sin_flat),
+        rp_tokens.astype(jnp.int32),
+        gumbel.astype(jnp.float32),
+        samp.temp.astype(jnp.float32).reshape(1, b),
+        samp.top_p.astype(jnp.float32).reshape(1, b),
+        samp.top_k.astype(jnp.int32).reshape(1, b),
+        samp.rep_pen.astype(jnp.float32).reshape(1, b),
+        is_eos.astype(jnp.int32).reshape(1, b),
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_cb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b, n_cb), const2),
+        out_shape=jax.ShapeDtypeStruct((b, n_cb), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((b, d), act_dtype),                    # x
+            pltpu.VMEM((lay, b, n_cb, kv * hd), act_dtype),   # K history
+            pltpu.VMEM((lay, b, n_cb, kv * hd), act_dtype),   # V history
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out
+
+
+def fused_fast_frame_batched_supported(
+    cfg: DualARConfig, params, batch: int
+) -> bool:
+    """Static eligibility for the batched dynamic-sampling kernel: the
+    B=1 layout constraints plus a row bound (the per-row sampler unroll
+    and gumbel operand grow linearly with B)."""
+    if batch < 1 or batch > 32:
+        return False
+    if cfg.head_dim % 2:
+        return False
+    if cfg.num_codebooks > 1:
+        if cfg.depthwise_output and cfg.codebook_size % 128:
+            return False
+        if cfg.depthwise_wte and cfg.codebook_size % 8:
+            return False
+    return True
+
+
 def fused_fast_frame_supported(cfg: DualARConfig, params, batch: int) -> bool:
     """Static eligibility: single row and the flat-lane layout assumptions
     (even head_dim for paired RoPE). Both bf16/f32 and int8-quantized

@@ -36,9 +36,12 @@ Design notes (same Mosaic constraints as ops/fast_frame_pallas.py):
   * The epilogue (final rms_norm + gathered-head logits) runs only on
     the last grid step under pl.when.
 
-Single-row kernel (B == 1): the batch-1 serving/bench path; batched
-engines amortize weight reads across rows and keep the XLA path with
-the per-layer fused attention kernel.
+Batched (B >= 1, round 4): the continuous batcher's decode rows run
+through the same kernel — weight matmuls batch rows on the MXU, and the
+KV merge + attention section loops rows statically (each row has its own
+cache, position, and mask extent). Eligibility is bounded by the VMEM
+cache-window budget and the per-row alignment-expansion compute
+(fused_slow_step_supported).
 """
 
 from __future__ import annotations
@@ -112,18 +115,31 @@ def rope_lane_vectors(
     that rope(x) = x * cos_flat + (x @ P) * sin_flat reproduces
     ops/rope.py::apply_rope_interleaved on the flat q+k lane region and
     is the identity on v lanes. Runs in XLA (one rope-table row gather)."""
+    cos_flat, sin_flat = rope_lane_vectors_batch(cfg, pos[None])
+    return cos_flat, sin_flat
+
+
+def rope_lane_vectors_batch(
+    cfg: DualARConfig, pos: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cos_flat, sin_flat) (B, QKV) f32 at per-row positions (B,) —
+    the batched decode step rotates each row at its own cache position."""
     from fish_speech_tpu.models.dual_ar import rope_tables
 
     cos, sin = rope_tables(cfg.head_dim, cfg.max_seq_len, cfg.rope_base)
     pair, sign, rot = _lane_maps(cfg)
-    cos_row = jnp.asarray(cos)[pos]  # (hd/2,)
-    sin_row = jnp.asarray(sin)[pos]
-    rot_v = jnp.asarray(rot)
+    cos_rows = jnp.asarray(cos)[pos]  # (B, hd/2)
+    sin_rows = jnp.asarray(sin)[pos]
+    pair_v = jnp.asarray(pair)
     cos_flat = jnp.where(
-        rot_v > 0, jnp.take(cos_row, jnp.asarray(pair)), 1.0
+        jnp.asarray(rot)[None, :] > 0,
+        jnp.take(cos_rows, pair_v, axis=1),
+        1.0,
     )
-    sin_flat = jnp.asarray(sign) * jnp.take(sin_row, jnp.asarray(pair))
-    return cos_flat[None, :], sin_flat[None, :]
+    sin_flat = jnp.asarray(sign)[None, :] * jnp.take(
+        sin_rows, pair_v, axis=1
+    )
+    return cos_flat, sin_flat
 
 
 def _rms_flat(x, w_row, eps):
@@ -134,7 +150,7 @@ def _rms_flat(x, w_row, eps):
 
 
 def _make_kernel(cfg: DualARConfig, head_width: int, s_max: int,
-                 quantized: bool):
+                 quantized: bool, b_rows: int = 1):
     d, h, kv, hd = cfg.dim, cfg.n_head, cfg.n_local_heads, cfg.head_dim
     n_layers = cfg.n_layer
     eps = cfg.norm_eps
@@ -143,7 +159,7 @@ def _make_kernel(cfg: DualARConfig, head_width: int, s_max: int,
     kv_sz = kv * hd
 
     def kernel(
-        x0_ref,       # (1, D) embedded step input
+        x0_ref,       # (B, D) embedded step input
         an_ref,       # (L, D) attention_norm (whole)
         wqkv_ref,     # (1, D, QKV) this layer's block (int8 when quantized)
         wo_ref,       # (1, D, D)
@@ -167,16 +183,16 @@ def _make_kernel(cfg: DualARConfig, head_width: int, s_max: int,
             r_ref,        # (H, D) f32
             p_ref,        # (QKV, QKV) act dtype
             sel_ref,      # (KV, KV*hd, hd) act dtype
-            cosf_ref,     # (1, QKV) f32
-            sinf_ref,     # (1, QKV) f32
-            pos_ref,      # (1, 1) SMEM int32
-            ck_ref,       # (1, 1, KV, S, hd) aliased in
-            cv_ref,       # (1, 1, KV, S, hd) aliased in
-            logits_ref,   # (1, W) f32 out (constant window)
-            hidden_ref,   # (1, D) out (constant window)
-            cko_ref,      # (1, 1, KV, S, hd) aliased out
-            cvo_ref,      # (1, 1, KV, S, hd) aliased out
-            x_s,          # VMEM scratch (1, D): activation across layers
+            cosf_ref,     # (B, QKV) f32 — per-row position rotation
+            sinf_ref,     # (B, QKV) f32
+            pos_ref,      # (1, B) SMEM int32 — per-row write positions
+            ck_ref,       # (1, B, KV, S, hd) aliased in
+            cv_ref,       # (1, B, KV, S, hd) aliased in
+            logits_ref,   # (B, W) f32 out (constant window)
+            hidden_ref,   # (B, D) out (constant window)
+            cko_ref,      # (1, B, KV, S, hd) aliased out
+            cvo_ref,      # (1, B, KV, S, hd) aliased out
+            x_s,          # VMEM scratch (B, D): activation across layers
         ) = rest
 
         def _wdot(xv, w_ref, s_ref):
@@ -193,9 +209,8 @@ def _make_kernel(cfg: DualARConfig, head_width: int, s_max: int,
             return y * s_ref[0, 0, :].astype(xv.dtype)
 
         l = pl.program_id(0)
-        pos = pos_ref[0, 0]
         r_m = r_ref[...]
-        x = jnp.where(l == 0, x0_ref[...], x_s[...])  # (1, D)
+        x = jnp.where(l == 0, x0_ref[...], x_s[...])  # (B, D)
 
         # attention_norm row for this layer: whole-table row select (the
         # (1, D) row block over an (L, D) array is illegal when L is not
@@ -212,69 +227,86 @@ def _make_kernel(cfg: DualARConfig, head_width: int, s_max: int,
             )
 
         hN = _rms_flat(x, _row(an_ref)[0], eps)
-        qkv_f = _wdot(hN, wqkv_ref, sqkv_ref)  # (1, QKV)
+        qkv_f = _wdot(hN, wqkv_ref, sqkv_ref)  # (B, QKV)
         perm = jnp.dot(qkv_f, p_ref[...], preferred_element_type=jnp.float32)
         rot = (
             qkv_f.astype(jnp.float32) * cosf_ref[...] + perm * sinf_ref[...]
         ).astype(qkv_f.dtype)
-        q_flat = rot[:, :q_sz]                    # (1, D)
-        k_flat = rot[:, q_sz : q_sz + kv_sz]      # (1, KV*hd)
-        v_flat = qkv_f[:, q_sz + kv_sz :]         # (1, KV*hd)
+        q_flat = rot[:, :q_sz]                    # (B, D)
+        k_flat = rot[:, q_sz : q_sz + kv_sz]      # (B, KV*hd)
+        v_flat = qkv_f[:, q_sz + kv_sz :]         # (B, KV*hd)
 
-        write_sel = (
-            jax.lax.broadcasted_iota(jnp.int32, (s_max, 1), 0) == pos
-        )  # (S, 1)
-        valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (h, s_max), 1) <= pos
-        )  # (H, S)
+        # Attention per row: each row has its own cache, write position,
+        # and mask extent (static Python loop — b is a compile-time
+        # index, so every slice below is a legal static sublane slice).
+        # The weight matmuls above stay batched on the MXU; only the
+        # KV merge + flat-lane alignment expansion runs per row.
+        attn_rows = []
+        for b in range(b_rows):
+            pos_b = pos_ref[0, b]
+            write_sel = (
+                jax.lax.broadcasted_iota(jnp.int32, (s_max, 1), 0) == pos_b
+            )  # (S, 1)
+            valid = (
+                jax.lax.broadcasted_iota(jnp.int32, (h, s_max), 1) <= pos_b
+            )  # (H, S)
+            k_aligned = jnp.zeros((d, s_max), jnp.float32)
+            v_aligned = jnp.zeros((d, s_max), jnp.float32)
+            for g in range(kv):
+                kg_new = jnp.dot(
+                    k_flat[b : b + 1].astype(jnp.float32),
+                    sel_ref[g].astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                ).astype(ck_ref.dtype)  # (1, hd)
+                vg_new = jnp.dot(
+                    v_flat[b : b + 1].astype(jnp.float32),
+                    sel_ref[g].astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                ).astype(cv_ref.dtype)
+                # masked merge in f32 (bf16 sublane broadcasts are
+                # rejected by Mosaic; exact — values already rounded)
+                kg = jnp.where(
+                    write_sel, kg_new.astype(jnp.float32),
+                    ck_ref[0, b, g, :, :].astype(jnp.float32),
+                ).astype(ck_ref.dtype)  # (S, hd)
+                vg = jnp.where(
+                    write_sel, vg_new.astype(jnp.float32),
+                    cv_ref[0, b, g, :, :].astype(jnp.float32),
+                ).astype(cv_ref.dtype)
+                cko_ref[0, b, g, :, :] = kg
+                cvo_ref[0, b, g, :, :] = vg
+                k_aligned = k_aligned + jnp.dot(
+                    e_ref[g].astype(jnp.float32), kg.T.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )  # (D, S)
+                v_aligned = v_aligned + jnp.dot(
+                    e_ref[g].astype(jnp.float32), vg.T.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
 
-        k_aligned = jnp.zeros((d, s_max), jnp.float32)
-        v_aligned = jnp.zeros((d, s_max), jnp.float32)
-        for g in range(kv):
-            kg_new = jnp.dot(
-                k_flat.astype(jnp.float32),
-                sel_ref[g].astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            ).astype(ck_ref.dtype)  # (1, hd)
-            vg_new = jnp.dot(
-                v_flat.astype(jnp.float32),
-                sel_ref[g].astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            ).astype(cv_ref.dtype)
-            # masked merge in f32 (bf16 sublane broadcasts are rejected
-            # by Mosaic; exact — values are already rounded)
-            kg = jnp.where(
-                write_sel, kg_new.astype(jnp.float32),
-                ck_ref[0, 0, g, :, :].astype(jnp.float32),
-            ).astype(ck_ref.dtype)  # (S, hd)
-            vg = jnp.where(
-                write_sel, vg_new.astype(jnp.float32),
-                cv_ref[0, 0, g, :, :].astype(jnp.float32),
-            ).astype(cv_ref.dtype)
-            cko_ref[0, 0, g, :, :] = kg
-            cvo_ref[0, 0, g, :, :] = vg
-            k_aligned = k_aligned + jnp.dot(
-                e_ref[g].astype(jnp.float32), kg.T.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
+            prod = (
+                q_flat[b : b + 1].T.astype(jnp.float32) * k_aligned
             )  # (D, S)
-            v_aligned = v_aligned + jnp.dot(
-                e_ref[g].astype(jnp.float32), vg.T.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
+            scores = (
+                jnp.dot(r_m, prod, preferred_element_type=jnp.float32)
+                * scale
+            )  # (H, S)
+            scores = jnp.where(valid, scores, NEG_INF)
+            w = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+            w = w / jnp.sum(w, axis=-1, keepdims=True)
+            # gqa_attention rounds weights to v.dtype before PV — mirror
+            w = w.astype(x.dtype).astype(jnp.float32)
+            w_lanes = jnp.dot(r_m.T, w, preferred_element_type=jnp.float32)
+            attn_rows.append(
+                jnp.sum(w_lanes * v_aligned, axis=-1)[None, :].astype(
+                    x.dtype
+                )  # (1, D)
             )
-
-        prod = q_flat.T.astype(jnp.float32) * k_aligned  # (D, S)
-        scores = (
-            jnp.dot(r_m, prod, preferred_element_type=jnp.float32) * scale
-        )  # (H, S)
-        scores = jnp.where(valid, scores, NEG_INF)
-        w = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
-        w = w / jnp.sum(w, axis=-1, keepdims=True)
-        # gqa_attention rounds weights to v.dtype before PV — mirror
-        w = w.astype(x.dtype).astype(jnp.float32)
-        w_lanes = jnp.dot(r_m.T, w, preferred_element_type=jnp.float32)
-        attn_flat = jnp.sum(w_lanes * v_aligned, axis=-1)[None, :].astype(
-            x.dtype
-        )  # (1, D)
+        attn_flat = (
+            jnp.concatenate(attn_rows, axis=0)
+            if b_rows > 1
+            else attn_rows[0]
+        )  # (B, D)
 
         x = x + _wdot(attn_flat, wo_ref, so_ref)
         h2 = _rms_flat(x, _row(fn_ref)[0], eps)
@@ -307,19 +339,25 @@ def _make_kernel(cfg: DualARConfig, head_width: int, s_max: int,
 def fused_slow_step(
     params,
     cfg: DualARConfig,
-    x0: jnp.ndarray,        # (1, D) embedded input (embed_tokens output row)
-    pos: jnp.ndarray,       # (1,) int32 write/attend position
-    ck: jnp.ndarray,        # (L, 1, KV, S, hd) K cache (donated)
-    cv: jnp.ndarray,        # (L, 1, KV, S, hd) V cache (donated)
+    x0: jnp.ndarray,        # (B, D) embedded input (embed_tokens output rows)
+    pos: jnp.ndarray,       # (B,) int32 per-row write/attend positions
+    ck: jnp.ndarray,        # (L, B, KV, S, hd) K cache (donated)
+    cv: jnp.ndarray,        # (L, B, KV, S, hd) V cache (donated)
     *,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (logits (1, W) f32, hidden (1, D), ck, cv) — the fused
-    equivalent of models/dual_ar.py::slow_decode_step for batch 1, with
-    the caches updated in place at [:, 0, :, pos, :]."""
+    """Returns (logits (B, W) f32, hidden (B, D), ck, cv) — the fused
+    equivalent of models/dual_ar.py::slow_decode_step, with the caches
+    updated in place at [:, b, :, pos[b], :] per row. B >= 1: the weight
+    matmuls batch rows on the MXU and the per-layer weight blocks are
+    streamed ONCE per step shared by all rows (the XLA path's ~287
+    fusions collapse to one kernel either way; at B > 1 the win is the
+    launch/fusion overhead plus activation residency, since XLA also
+    shares weight reads across rows)."""
     d, h, kv, hd = cfg.dim, cfg.n_head, cfg.n_local_heads, cfg.head_dim
     qkv = (h + 2 * kv) * hd
     lay = cfg.n_layer
+    b = x0.shape[0]
     s_max = ck.shape[3]
     act_dtype = x0.dtype
     slow = params["slow"]
@@ -335,16 +373,16 @@ def fused_slow_step(
     head_width = head.shape[1]
 
     e_np, r_np, p_np, sel_np = _constants(d, h, kv, hd, qkv)
-    cos_flat, sin_flat = rope_lane_vectors(cfg, pos[0])
+    cos_flat, sin_flat = rope_lane_vectors_batch(cfg, pos)
 
-    kernel = _make_kernel(cfg, head_width, s_max, quantized)
+    kernel = _make_kernel(cfg, head_width, s_max, quantized, b_rows=b)
 
     const2 = lambda i: (0, 0)
     const3 = lambda i: (0, 0, 0)
     layer3 = lambda i: (i, 0, 0)
     cache_map = lambda i: (i, 0, 0, 0, 0)
     in_specs = [
-        pl.BlockSpec((1, d), const2),                    # x0
+        pl.BlockSpec((b, d), const2),                    # x0
         pl.BlockSpec((lay, d), const2),                  # attention_norm
         pl.BlockSpec((1, d, qkv), layer3),               # wqkv
         pl.BlockSpec((1, d, d), layer3),                 # wo
@@ -368,17 +406,17 @@ def fused_slow_step(
         pl.BlockSpec((h, d), const2),                    # R
         pl.BlockSpec((qkv, qkv), const2),                # P
         pl.BlockSpec((kv, kv * hd, hd), const3),         # Sel
-        pl.BlockSpec((1, qkv), const2),                  # cos lanes
-        pl.BlockSpec((1, qkv), const2),                  # sin lanes
-        pl.BlockSpec((1, 1), const2, memory_space=pltpu.SMEM),  # pos
-        pl.BlockSpec((1, 1, kv, s_max, hd), cache_map),  # ck
-        pl.BlockSpec((1, 1, kv, s_max, hd), cache_map),  # cv
+        pl.BlockSpec((b, qkv), const2),                  # cos lanes
+        pl.BlockSpec((b, qkv), const2),                  # sin lanes
+        pl.BlockSpec((1, b), const2, memory_space=pltpu.SMEM),  # pos
+        pl.BlockSpec((1, b, kv, s_max, hd), cache_map),  # ck
+        pl.BlockSpec((1, b, kv, s_max, hd), cache_map),  # cv
     ]
     out_specs = [
-        pl.BlockSpec((1, head_width), const2),           # logits
-        pl.BlockSpec((1, d), const2),                    # hidden
-        pl.BlockSpec((1, 1, kv, s_max, hd), cache_map),  # ck out
-        pl.BlockSpec((1, 1, kv, s_max, hd), cache_map),  # cv out
+        pl.BlockSpec((b, head_width), const2),           # logits
+        pl.BlockSpec((b, d), const2),                    # hidden
+        pl.BlockSpec((1, b, kv, s_max, hd), cache_map),  # ck out
+        pl.BlockSpec((1, b, kv, s_max, hd), cache_map),  # cv out
     ]
     ck_idx = len(in_specs) - 2  # position of ck among the operands
     operands = [
@@ -402,7 +440,7 @@ def fused_slow_step(
         jnp.asarray(sel_np, act_dtype),
         cos_flat,
         sin_flat,
-        pos.astype(jnp.int32).reshape(1, 1),
+        pos.astype(jnp.int32).reshape(1, b),
         ck,
         cv,
     ]
@@ -412,12 +450,12 @@ def fused_slow_step(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((1, head_width), jnp.float32),
-            jax.ShapeDtypeStruct((1, d), act_dtype),
+            jax.ShapeDtypeStruct((b, head_width), jnp.float32),
+            jax.ShapeDtypeStruct((b, d), act_dtype),
             jax.ShapeDtypeStruct(ck.shape, ck.dtype),
             jax.ShapeDtypeStruct(cv.shape, cv.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((1, d), act_dtype)],
+        scratch_shapes=[pltpu.VMEM((b, d), act_dtype)],
         input_output_aliases={ck_idx: 2, ck_idx + 1: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -428,13 +466,32 @@ def fused_slow_step(
     return logits, hidden, ck_out, cv_out
 
 
-def fused_slow_step_supported(cfg: DualARConfig, params, batch: int) -> bool:
-    """Static eligibility: single row, even head_dim (paired RoPE).
-    Both bf16/f32 and int8-quantized (ops/quant.py) slow stacks are
-    supported — int8 halves the kernel's HBM weight traffic, which is
-    exactly what this HBM-bound kernel is limited by."""
-    if batch != 1:
-        return False
+def fused_slow_step_supported(
+    cfg: DualARConfig, params, batch: int, cache_len: int = 0
+) -> bool:
+    """Static eligibility: even head_dim (paired RoPE); any batch whose
+    per-layer cache window fits the VMEM budget next to the double-
+    buffered weight blocks. Both bf16/f32 and int8-quantized
+    (ops/quant.py) slow stacks are supported — int8 halves the kernel's
+    HBM weight traffic, which is exactly what this HBM-bound kernel is
+    limited by.
+
+    The per-row attention section costs ~2*D*hd*S MACs of flat-lane
+    alignment expansion per row per layer, so large batch x deep cache
+    combinations shift the kernel from HBM-bound to MXU-bound; the
+    B*S bound below keeps the expansion under ~15% of the weight-stream
+    time on v5e (measured shapes: B=16 x S=512 serving config)."""
     if cfg.head_dim % 2:
+        return False
+    if batch == 1:
+        return True
+    # batched: cache windows (B, KV, S, hd) x2 (k,v) x2 (in,out) must sit
+    # in VMEM beside ~2x30 MiB of weight windows; and bound the per-row
+    # expansion compute
+    s = cache_len or cfg.max_seq_len
+    win_bytes = 4 * batch * cfg.n_local_heads * s * cfg.head_dim * 2
+    if win_bytes > 48 * 1024 * 1024:
+        return False
+    if batch * s > 16384:
         return False
     return True

@@ -83,6 +83,101 @@ def test_fused_frame_matches_xla(seed):
     np.testing.assert_array_equal(np.asarray(r.rep_pen.tokens), np.asarray(g.rep_pen.tokens))
 
 
+@pytest.mark.parametrize("batch", [2, 4])
+def test_fused_frame_batched_dynamic_matches_xla(batch):
+    """Batched dynamic-sampling kernel (r4): per-row temp/top_p/top_k/
+    rep-pen as device operands, per-row key chains — token-exact vs the
+    XLA dynamic path for mixed row configs incl. an argmax row and an
+    EOS row."""
+    from fish_speech_tpu.ops.sampling import RowSampling
+
+    params = _setup(CFG)
+    rng_np = np.random.default_rng(batch)
+    logits = jnp.asarray(
+        rng_np.normal(size=(batch, params["output"].shape[1])) * 2.0,
+        jnp.float32,
+    )
+    # row 0 -> im_end (EOS); others -> semantic range
+    logits = logits.at[0, :].set(-30.0).at[0, 0].set(30.0)
+    if batch > 2:
+        logits = logits.at[2, 0].set(-100.0)
+    hidden = jnp.asarray(
+        rng_np.normal(size=(batch, CFG.dim)), jnp.float32
+    )
+    rp = RepPenWindow(
+        tokens=jnp.asarray(
+            rng_np.integers(-1, CFG.codebook_size,
+                            (batch, CFG.num_codebooks, 12)),
+            jnp.int32,
+        ),
+        ptr=jnp.zeros((), jnp.int32),
+    )
+    prev = jnp.asarray(
+        rng_np.integers(0, CFG.codebook_size, (batch, CFG.num_codebooks + 1)),
+        jnp.int32,
+    )
+    samp = RowSampling(
+        temp=jnp.asarray([0.7, 0.0, 1.2, 0.5][:batch]),
+        top_p=jnp.asarray([0.8, 1.0, 0.6, 0.95][:batch]),
+        top_k=jnp.asarray([16, 0, 4, 32][:batch], jnp.int32),
+        rep_pen=jnp.asarray([1.3, 1.0, 1.5, 1.1][:batch]),
+    )
+    keys = jnp.stack([jax.random.PRNGKey(100 + i) for i in range(batch)])
+    ref = framemod.generate_frame(
+        params, CFG, TOK, WhichLM.FISH_1_5, SamplingArgs(), logits, hidden,
+        rp, prev, keys, samp=samp,
+    )
+    got = framemod.generate_frame(
+        params, CFG, TOK, WhichLM.FISH_1_5, SamplingArgs(), logits, hidden,
+        rp, prev, keys, samp=samp,
+        use_fused_fast=True, fused_interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
+    np.testing.assert_array_equal(np.asarray(ref.is_eos), np.asarray(got.is_eos))
+    assert bool(np.asarray(ref.is_eos)[0])  # the spiked row really is EOS
+    np.testing.assert_array_equal(
+        np.asarray(ref.rep_pen.tokens), np.asarray(got.rep_pen.tokens)
+    )
+
+
+def test_engine_batched_dynamic_fused_matches_xla():
+    """Engine-level: a dynamic batch-4 engine with fast_frame_impl='fused'
+    reproduces the XLA engine's decode chunks exactly."""
+    params = init_dual_ar_params(jax.random.PRNGKey(2), CFG, dtype=jnp.float32)
+    sampling = SamplingArgs(temp=0.8, top_p=0.9, top_k=8, repetition_penalty=1.2)
+    rng = np.random.default_rng(5)
+    prompts = [
+        np.concatenate(
+            [
+                rng.integers(TOK.semantic_start_id, TOK.semantic_end_id, size=(1, 6)),
+                np.zeros((CFG.num_codebooks, 6), np.int64),
+            ],
+            axis=0,
+        )
+        for _ in range(4)
+    ]
+
+    def run(impl):
+        engine = LMEngine(
+            params, CFG, TOK, WhichLM.FISH_1_5,
+            batch_size=4, cache_len=64, max_frames=6,
+            dtype=jnp.float32, prompt_buckets=(16,),
+            fast_frame_impl=impl, dynamic_sampling=True,
+        )
+        state = engine.init_state(seed=7)
+        for r, p in enumerate(prompts):
+            state, _, _ = engine.prefill_row(
+                state, p, sampling, r, seed=100 + r
+            )
+        state, out, valid, steps = engine.decode_chunk(state, sampling, 4)
+        return np.asarray(out), np.asarray(valid)
+
+    ref_out, ref_valid = run("xla")
+    got_out, got_valid = run("fused")
+    np.testing.assert_array_equal(ref_valid, got_valid)
+    np.testing.assert_array_equal(ref_out, got_out)
+
+
 def test_fused_frame_argmax():
     params = _setup(CFG)
     sampling = SamplingArgs(temp=0.0, top_p=1.0, top_k=32, repetition_penalty=1.0)

@@ -183,16 +183,69 @@ def test_engine_both_kernels_match_xla():
 def test_gating():
     params = init_dual_ar_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
     assert fused_slow_step_supported(CFG, params, 1)
-    assert not fused_slow_step_supported(CFG, params, 2)
+    # batched decode is supported within the VMEM/compute bounds (r4)...
+    assert fused_slow_step_supported(CFG, params, 16, cache_len=512)
+    # ...but not past them (expansion compute / cache windows blow up)
+    assert not fused_slow_step_supported(CFG, params, 32, cache_len=4096)
     with pytest.raises(ValueError):
         LMEngine(
             params, CFG, TOK, WhichLM.FISH_1_5,
-            batch_size=2, dtype=jnp.float32, slow_impl="fused",
+            batch_size=32, cache_len=4096,
+            dtype=jnp.float32, slow_impl="fused",
         )
     engine = LMEngine(
         params, CFG, TOK, WhichLM.FISH_1_5, batch_size=1, dtype=jnp.float32
     )
     assert not engine.use_fused_slow  # auto stays off off-TPU
+
+
+@pytest.mark.parametrize("batch", [2, 4])
+def test_fused_slow_step_batched_matches_xla(batch):
+    """B>1 (the continuous batcher's decode rows): per-row positions,
+    per-row caches — logits/hidden/cache updates must match the XLA
+    batched slow_decode_step row for row."""
+    params = _setup()
+    rng = np.random.default_rng(batch)
+    ck = jnp.asarray(
+        rng.normal(
+            size=(CFG.n_layer, batch, CFG.n_local_heads, 32, CFG.head_dim)
+        ) * 0.1,
+        jnp.float32,
+    )
+    cv = jnp.asarray(rng.normal(size=ck.shape) * 0.1, jnp.float32)
+    cache = KVCache(k=ck, v=cv)
+    tokens = jnp.asarray(
+        rng.integers(0, 40, (batch, CFG.num_codebooks + 1)), jnp.int32
+    )
+    pos_np = rng.choice(31, size=batch, replace=False).astype(np.int32)
+    pos = jnp.asarray(pos_np)
+
+    ref_logits, ref_hidden, ref_cache = slow_decode_step(
+        params, CFG, TOK, tokens, cache, pos
+    )
+    x0 = embed_tokens(params, CFG, TOK, tokens[:, :, None])[:, 0, :]
+    got_logits, got_hidden, ck2, cv2 = fused_slow_step(
+        params, CFG, x0, pos, cache.k, cache.v, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_logits), np.asarray(got_logits), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_hidden), np.asarray(got_hidden), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_cache.k), np.asarray(ck2), atol=1e-6, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_cache.v), np.asarray(cv2), atol=1e-6, rtol=1e-6
+    )
+    # untouched positions bitwise-identical per row
+    for b in range(batch):
+        mask = np.arange(32) != pos_np[b]
+        np.testing.assert_array_equal(
+            np.asarray(cache.k)[:, b, :, mask],
+            np.asarray(ck2)[:, b, :, mask],
+        )
 
 
 def test_fused_slow_step_int8():

@@ -118,6 +118,56 @@ def test_fused_slow_step_lowers_for_tpu(quantize):
 
 
 @pytest.mark.parametrize("quantize", [False, True], ids=["f32", "int8"])
+def test_fused_slow_step_batched_lowers_for_tpu(quantize):
+    """Batched (r4) slow-step kernel: per-row positions + B-row cache
+    windows must pass the Mosaic lowering rules."""
+    from fish_speech_tpu.ops.slow_step_pallas import fused_slow_step
+
+    b = 8
+    params = _setup(CFG, quantize)
+    tokens = jnp.zeros((b, CFG.num_codebooks + 1), jnp.int32)
+    x0 = embed_tokens(params, CFG, TOK, tokens[:, :, None])[:, 0, :]
+    ck = jnp.zeros(
+        (CFG.n_layer, b, CFG.n_local_heads, 32, CFG.head_dim), jnp.float32
+    )
+
+    def fn(x0, pos, ck, cv):
+        return fused_slow_step(params, CFG, x0, pos, ck, cv)
+
+    _lower_tpu(fn, x0, jnp.arange(b, dtype=jnp.int32), ck, ck)
+
+
+@pytest.mark.parametrize("quantize", [False, True], ids=["f32", "int8"])
+def test_fused_fast_frame_batched_lowers_for_tpu(quantize):
+    """Batched dynamic-sampling fast-frame kernel (r4): SMEM per-row
+    sampling operands + B-row scratch must pass the Mosaic lowering."""
+    from fish_speech_tpu.ops.sampling import RowSampling
+
+    b = 8
+    params = _setup(CFG, quantize)
+    logits = jnp.zeros((b, params["output"].shape[1]), jnp.float32)
+    hidden = jnp.zeros((b, CFG.dim), jnp.float32)
+    rp = RepPenWindow.init((b, CFG.num_codebooks), 12)
+    prev = jnp.zeros((b, CFG.num_codebooks + 1), jnp.int32)
+    samp = RowSampling.broadcast(
+        SamplingArgs(temp=0.7, top_p=0.8, top_k=16, repetition_penalty=1.3),
+        b,
+    )
+    keys = jnp.stack([jax.random.PRNGKey(i) for i in range(b)])
+
+    def fn(logits, hidden, rp, prev, keys, samp):
+        out = framemod.generate_frame(
+            params, CFG, TOK, WhichLM.FISH_1_5, SamplingArgs(), logits,
+            hidden, rp, prev, keys, samp=samp,
+            use_fused_fast=True, fused_interpret=False,
+        )
+        return out.tokens
+
+    text = _lower_tpu(fn, logits, hidden, rp, prev, keys, samp)
+    assert text.count("tpu_custom_call") >= 1
+
+
+@pytest.mark.parametrize("quantize", [False, True], ids=["f32", "int8"])
 @pytest.mark.parametrize("depthwise", [False, True], ids=["std", "depthwise"])
 def test_fused_fast_frame_lowers_for_tpu(quantize, depthwise):
     # depthwise_output walks the head in cb_size-lane blocks, so Mosaic
