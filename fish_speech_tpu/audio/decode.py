@@ -53,6 +53,10 @@ def decode_audio_bytes(data: bytes) -> Tuple[np.ndarray, int]:
     data = bytes(data)  # multipart readers may hand back a bytearray
     if data[:4] == b"RIFF":
         return read_wav(data)
+    if data[:4] == b"\x1a\x45\xdf\xa3":  # EBML: WebM / Matroska
+        from fish_speech_tpu.audio.webm import decode_webm_bytes
+
+        return decode_webm_bytes(data)
 
     lib = _load()
     if lib is None:
