@@ -58,7 +58,8 @@ def _sha(arr: np.ndarray) -> str:
     return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()
 
 
-def run_pipeline(checkpoint: str, model_str: str, text: str, seed: int):
+def run_pipeline(checkpoint: str, model_str: str, text: str, seed: int,
+                 quantize_int8: bool = False):
     """The serving path, end to end; returns (codes, pcm, sample_rate,
     encode_codes, timings)."""
     import jax.numpy as jnp
@@ -71,7 +72,7 @@ def run_pipeline(checkpoint: str, model_str: str, text: str, seed: int):
     t0 = time.perf_counter()
     pipe = TTSPipeline.load(
         checkpoint or "", model, lm_dtype=jnp.bfloat16,
-        codec_dtype=jnp.float32,
+        codec_dtype=jnp.float32, quantize_int8=quantize_int8,
     )
     t_load = time.perf_counter() - t0
 
@@ -247,6 +248,8 @@ def main() -> int:
         fix_root = Path(tempfile.mkdtemp(prefix="fish_synth_fix_"))
 
         codes, pcm, sr, enc, t = run_pipeline(str(tmp), "1.5", TEXT, SEED)
+        # int8 listen-proxy must run in the dry-run too (the gate below)
+        _report_int8_proxy(str(tmp), "1.5", codes, pcm)
         fix_dir = fix_root / "1.5"
         rc = verify_or_record(fix_dir, "1.5", codes, pcm, sr, enc, t,
                               args.pcm_tol)
@@ -266,9 +269,42 @@ def main() -> int:
     codes, pcm, sr, enc, t = run_pipeline(
         args.checkpoint, args.model, TEXT, SEED
     )
+    _report_int8_proxy(args.checkpoint, args.model, codes, pcm)
     return verify_or_record(
         Path(args.fixtures) / args.model, args.model, codes, pcm, sr, enc,
         t, args.pcm_tol,
+    )
+
+
+def _report_int8_proxy(checkpoint: str, model_str: str,
+                       ref_codes, ref_pcm) -> None:
+    """The int8 go/no-go listen-proxy (VERDICT r3 #6): greedy-generate
+    the same text with the int8-quantized LM, vocode, and report token
+    agreement + mel-space distance + PCM SNR vs the bf16 generation
+    (methodology: reference tests/e2e/hello.py). Record the numbers in
+    BASELINE.md next to the int8 decision."""
+    from fish_speech_tpu.config import FireflyConfig  # noqa: F401
+    from fish_speech_tpu.utils.quality import mel_l1_distance, pcm_metrics
+
+    codes_q, pcm_q, sr_q, _enc_q, _t = run_pipeline(
+        checkpoint, model_str, TEXT, SEED, quantize_int8=True
+    )
+    n = min(ref_codes.shape[-1], codes_q.shape[-1])
+    tok_agree = (
+        float((ref_codes[:, :n] == codes_q[:, :n]).mean()) if n else 0.0
+    )
+    from fish_speech_tpu.config import FishVersion, WhichModel
+
+    spec_cfg = FireflyConfig.for_version(
+        WhichModel(model_str).fish_version or FishVersion.V1_5
+    ).spec_transform
+    mel = mel_l1_distance(ref_pcm, pcm_q, spec_cfg)
+    wave = pcm_metrics(ref_pcm, pcm_q)
+    log(
+        f"INT8 LISTEN-PROXY ({model_str}): greedy token agreement "
+        f"{tok_agree:.1%} over {n} frames, mel-L1 {mel:.4f}, "
+        f"PCM SNR {wave['snr_db']:.1f} dB "
+        f"(identical streams -> agreement 100%, mel 0)"
     )
 
 
