@@ -28,6 +28,14 @@ from fish_speech_tpu.server.voices import load_speaker_prompts
 
 
 def main() -> None:
+    # Multi-host pods: a no-op unless TPU pod metadata or
+    # FISH_TPU_COORDINATOR/NUM_PROCESSES/PROCESS_ID are set. Must run
+    # before anything touches the XLA backend (importing jnp above is
+    # fine — backend init happens at first device use).
+    from fish_speech_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed()
+
     parser = argparse.ArgumentParser(description="fish_speech_tpu server")
     parser.add_argument(
         "--checkpoint",

@@ -96,13 +96,30 @@ def init_train_state(
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
     """Place a {\"tokens\": (B, C+1, S), \"seq_lens\": (B,)} batch with its
-    row axis over dp. B must be a multiple of mesh.shape[\"dp\"]."""
+    row axis over dp. B must be a multiple of mesh.shape[\"dp\"].
+
+    Multi-process (pod-slice) semantics: each process passes its OWN
+    local rows — B is the per-host batch and the global batch is
+    B * process_count (parallel.distributed.host_local_to_global
+    assembles the global array from per-host shards). Single-process:
+    a plain device_put of the full batch."""
+    from fish_speech_tpu.parallel.distributed import host_local_to_global
+
+    import numpy as _np
+
+    nproc = jax.process_count()
+    tokens = _np.asarray(batch["tokens"])
+    seq_lens = _np.asarray(batch["seq_lens"])
     return {
-        "tokens": jax.device_put(
-            batch["tokens"], NamedSharding(mesh, P("dp", None, None))
+        "tokens": host_local_to_global(
+            NamedSharding(mesh, P("dp", None, None)),
+            tokens,
+            global_shape=(tokens.shape[0] * nproc,) + tokens.shape[1:],
         ),
-        "seq_lens": jax.device_put(
-            batch["seq_lens"], NamedSharding(mesh, P("dp"))
+        "seq_lens": host_local_to_global(
+            NamedSharding(mesh, P("dp")),
+            seq_lens,
+            global_shape=(seq_lens.shape[0] * nproc,),
         ),
     }
 
