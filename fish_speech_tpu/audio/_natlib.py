@@ -1,0 +1,37 @@
+"""Locate the native audio runtime (libfishaudio.so) for both layouts:
+
+- installed package: fish_speech_tpu/_native/libfishaudio.so, placed
+  there by the wheel build (setup.py builds native/fishaudio.cpp into
+  the package — counterpart of the reference's maturin wheels,
+  .github/workflows/python-wheels.yaml:31-99);
+- repo checkout: native/libfishaudio.so (built by `make -C native`,
+  which callers may invoke lazily).
+
+FISH_TPU_NATIVE_LIB overrides both (absolute path to the .so).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+
+def repo_native_dir() -> Path:
+    """The checkout's native/ source dir (exists in repo layouts only)."""
+    return Path(__file__).resolve().parents[2] / "native"
+
+
+def find_lib() -> Optional[Path]:
+    """First existing candidate, or None. Does NOT build."""
+    override = os.environ.get("FISH_TPU_NATIVE_LIB")
+    if override:
+        p = Path(override)
+        return p if p.exists() else None
+    packaged = Path(__file__).resolve().parents[1] / "_native" / "libfishaudio.so"
+    if packaged.exists():
+        return packaged
+    checkout = repo_native_dir() / "libfishaudio.so"
+    if checkout.exists():
+        return checkout
+    return None

@@ -19,14 +19,16 @@ import numpy as np
 
 from fish_speech_tpu.audio.wav import read_wav
 
-_LIB_PATH = Path(__file__).resolve().parents[2] / "native" / "libfishaudio.so"
 _lib: Optional[ctypes.CDLL] = None
 
 
 def _load() -> Optional[ctypes.CDLL]:
+    from fish_speech_tpu.audio._natlib import find_lib
+
     global _lib
-    if _lib is None and _LIB_PATH.exists():
-        lib = ctypes.CDLL(str(_LIB_PATH))
+    path = find_lib() if _lib is None else None
+    if _lib is None and path is not None:
+        lib = ctypes.CDLL(str(path))
         lib.fa_decode_auto.restype = ctypes.c_int
         lib.fa_decode_auto.argtypes = [
             ctypes.c_char_p,

@@ -14,13 +14,9 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
-from pathlib import Path
 from typing import Optional
 
 import numpy as np
-
-NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
-LIB_PATH = NATIVE_DIR / "libfishaudio.so"
 
 OPUS_SAMPLE_RATE = 24000
 OPUS_BITRATE = 24000
@@ -30,22 +26,29 @@ _lib_tried = False
 
 
 def _load_lib() -> Optional[ctypes.CDLL]:
+    from fish_speech_tpu.audio._natlib import find_lib, repo_native_dir
+
     global _lib, _lib_tried
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not LIB_PATH.exists():
+    path = find_lib()
+    if path is None:
+        # repo checkout: build lazily (installed wheels ship the lib)
         try:
             subprocess.run(
-                ["make", "-C", str(NATIVE_DIR)],
+                ["make", "-C", str(repo_native_dir())],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
         except Exception:
             return None
+        path = find_lib()
+        if path is None:
+            return None
     try:
-        lib = ctypes.CDLL(str(LIB_PATH))
+        lib = ctypes.CDLL(str(path))
     except OSError:
         return None
     lib.fa_ogg_opus_create.restype = ctypes.c_void_p
