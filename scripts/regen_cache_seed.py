@@ -36,8 +36,12 @@ from fish_speech_tpu.utils.cache import DEFAULT_CACHE_DIR  # noqa: E402
 CACHE = os.environ.get("FISH_TPU_CACHE_DIR", DEFAULT_CACHE_DIR)
 SEED_DIR = os.path.join(REPO, "cache_seed")
 # the five bench-path programs worth committing (see cache_seed/README.md)
+# jit_call-: programs spliced from aot_seed/ exports compile under
+# jax.export's `call` name, not the original fn names — without this
+# prefix the BIGGEST entries (decode loop, prefill: ~60 s of XLA compile
+# on 1 vCPU) were silently never seeded (found r4 via JAX_LOG_COMPILES).
 PREFIXES = ("jit_build-", "jit_prefill_fn-", "jit_decode_loop-",
-            "jit__decode_fn-")
+            "jit__decode_fn-", "jit_call-")
 
 
 def _run_bench(no_seed: bool = False) -> str:
