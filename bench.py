@@ -263,14 +263,25 @@ def _serving_setup(s, rows: int, *, codec_buckets, int8: bool, horizon: int = 16
     )
 
     n_frames = 128  # ~5.9 s of audio per request
+
+    def _impl_flag(name: str) -> str:
+        # --slow-impl / --fast-impl {auto,fused,xla}: A/B the batched
+        # fused kernels against the XLA lowering on the SAME harness
+        if name in sys.argv:
+            return sys.argv[sys.argv.index(name) + 1]
+        return "auto"
+
     engine = LMEngine(
         s.params, s.cfg, s.tok, WhichLM.FISH_1_5,
         batch_size=rows, cache_len=512, max_frames=n_frames,
         rep_pen_window=BATCHED_REP_PEN_WINDOW,
         dtype=s.jnp.bfloat16, prompt_buckets=(64,), quantize_int8=int8,
+        slow_impl=_impl_flag("--slow-impl"),
+        fast_frame_impl=_impl_flag("--fast-impl"),
         # the serving default (pipeline.create_batcher): per-request
-        # sampling/seed as device operands
-        dynamic_sampling=True,
+        # sampling/seed as device operands. --static-sampling A/Bs the
+        # r3-style compiled-in sampling on the same harness.
+        dynamic_sampling="--static-sampling" not in sys.argv,
     )
     codec = FireflyCodec(s.codec_params, s.codec_cfg, buckets=codec_buckets)
     sampling = SamplingArgs(

@@ -123,6 +123,7 @@ class LMEngine:
         mesh=None,
         quantize_int8: bool = False,
         dynamic_sampling: bool = False,
+        dyn_top_k_cap: int = 256,
         _params_preprocessed: bool = False,
     ) -> None:
         # dynamic_sampling: temp/top_p/top_k/rep-pen become PER-ROW device
@@ -133,7 +134,15 @@ class LMEngine:
         # static_batch.rs:29-63). Static engines keep sampling compiled in
         # (constant folding + the fused fast-frame kernel's in-kernel
         # sampler need static knobs).
+        # dyn_top_k_cap: static ceiling on per-request top_k for dynamic
+        # engines (requests asking for more, or 0 = "all", clamp to it).
+        # It bounds lax.top_k's static width: an uncapped dynamic sampler
+        # must sort the whole head per row, measured at ~30% of the
+        # 16-way serving decode step (BASELINE.md r4). Must be a multiple
+        # of 128 (or >= the codebook size) for the batched fused kernel's
+        # tile loops.
         self.dynamic_sampling = dynamic_sampling
+        self.dyn_top_k_cap = int(dyn_top_k_cap)
         # Gather the LM head down to the audio-legal columns once: the
         # per-frame head matmul then reads ~1 MB instead of ~200 MB
         # (constrained sampling can never pick any other column; see
@@ -214,7 +223,20 @@ class LMEngine:
                 and fused_fast_frame_supported(cfg, params, batch_size)
             )
         if fast_frame_impl == "auto":
-            self.use_fused_fast = fused_ok and jax.default_backend() == "tpu"
+            # auto: fused for SINGLE-row engines only. The batched kernel
+            # compiles and is token-distribution-correct up to B=32, but
+            # its VMEM-bounded row-block grid + fori-serialized per-row
+            # sampler measured ~25% SLOWER than the row-batched XLA fast
+            # stack at B=4 (927 vs 1529 frames/s warm, 2026-08-19) — at
+            # batch the 8x/frame weight re-read is already amortized
+            # across rows, so the kernel's bandwidth win no longer pays
+            # for its serialization. Explicit fast_frame_impl="fused"
+            # still selects it for A/B.
+            self.use_fused_fast = (
+                fused_ok
+                and batch_size == 1
+                and jax.default_backend() == "tpu"
+            )
         else:
             self.use_fused_fast = fast_frame_impl == "fused"
             if self.use_fused_fast and not fused_ok:
@@ -243,7 +265,18 @@ class LMEngine:
             )
         )
         if slow_impl == "auto":
-            self.use_fused_slow = slow_ok and jax.default_backend() == "tpu"
+            # auto: fused for SINGLE-row engines only, same reasoning as
+            # the fast kernel above — at batch the weight stream is
+            # already amortized across rows and XLA's batched attention
+            # einsums beat the kernel's per-row flat-lane expansion.
+            # Measured 16-way serving p50 RTF (2026-08-19, identical
+            # harness): fused slow 0.185 vs XLA slow 0.163. Explicit
+            # slow_impl="fused" still selects it (bench --slow-impl).
+            self.use_fused_slow = (
+                slow_ok
+                and batch_size == 1
+                and jax.default_backend() == "tpu"
+            )
         else:
             self.use_fused_slow = slow_impl == "fused"
             if self.use_fused_slow and not slow_ok:
@@ -321,6 +354,7 @@ class LMEngine:
 
         self._prefill_jit = {}  # sampling -> fn
         self._decode_jit = {}
+        self._init_state_jit = None  # built lazily (init_state)
 
     def _aot_parts(self):
         """Engine identity for AOT program seeds (utils/aot.py): every
@@ -349,6 +383,7 @@ class LMEngine:
             self.decode_unroll,
             self.quantize_int8,
             self.dynamic_sampling,
+            self.dyn_top_k_cap,
         )
 
     def _skey(self, sampling: SamplingArgs):
@@ -362,11 +397,22 @@ class LMEngine:
     def init_state(self, seed: Optional[int] = None) -> GenState:
         if seed is None:
             seed = int(np.random.default_rng().integers(0, 2**31 - 1))
+        if self._init_state_jit is None:
+            # ONE jitted program with the seed as a traced operand: eager
+            # construction dispatches ~10 tiny device programs (zeros,
+            # PRNGKey, broadcasts), each a separate compile + remote
+            # execution — measured ~3.6 s per cold process through the
+            # axon tunnel on a 1-vCPU host (same disease as the codec
+            # stream-state init, docs/TPU_NOTES.md #14).
+            self._init_state_jit = jax.jit(self._init_state_fn)
+        return self._init_state_jit(jnp.uint32(seed & 0x7FFFFFFF))
+
+    def _init_state_fn(self, seed: jnp.ndarray) -> GenState:
         b, c = self.batch_size, self.cfg.num_codebooks
         if self.dynamic_sampling:
             # one key chain per row; admissions overwrite their row's key
             rng = jax.vmap(jax.random.PRNGKey)(
-                jnp.arange(b, dtype=jnp.uint32) + jnp.uint32(seed)
+                jnp.arange(b, dtype=jnp.uint32) + seed
             )
         else:
             rng = jax.random.PRNGKey(seed)
@@ -515,6 +561,7 @@ class LMEngine:
             samp=state.samp if self.dynamic_sampling else None,
             use_fused_fast=self.use_fused_fast,
             fused_interpret=self.fused_fast_interpret,
+            dyn_top_k_cap=self.dyn_top_k_cap,
         )
         # Done rows keep emitting EOS frames and stop advancing.
         frame = jnp.where(
@@ -734,6 +781,7 @@ class LMEngine:
                     None,
                     frame_rng,
                     samp=row_samp,
+                    dyn_top_k_cap=self.dyn_top_k_cap,
                 )
                 new_state = GenState(
                     cache=cache,
@@ -860,6 +908,7 @@ class LMEngine:
                     None,
                     frame_rng,
                     samp=burst_samp,
+                    dyn_top_k_cap=self.dyn_top_k_cap,
                 )
                 upd = jax.lax.dynamic_update_slice
                 new_state = GenState(

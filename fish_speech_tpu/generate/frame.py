@@ -67,6 +67,7 @@ def sample_semantic(
     sampling: SamplingArgs,
     rng: jax.Array,
     samp: "RowSampling" = None,
+    dyn_top_k_cap: int = 256,
 ) -> jnp.ndarray:
     """Constrained (audio-only) semantic-token draw over WINDOWED logits.
 
@@ -90,9 +91,16 @@ def sample_semantic(
         )
 
     if samp is not None:
+        # k_max is a STATIC cap on the dynamic top_k (requests clamp to
+        # it): lax.top_k at k_max == the full head width is a complete
+        # per-row sort, measured at ~30% of the 16-way serving decode
+        # step (p50 RTF 0.163 -> see BASELINE.md r4). With the serving
+        # default top_p=0.8 active, ranks beyond 256 carry no
+        # practically reachable mass.
         tok = sample_top_k_top_p_dynamic(
             logits, rng, temp=samp.temp, top_p=samp.top_p,
-            top_k=samp.top_k, k_max=logits.shape[-1],
+            top_k=samp.top_k,
+            k_max=min(dyn_top_k_cap, logits.shape[-1]),
         )
     else:
         tok = sample_top_k_top_p(
@@ -124,6 +132,7 @@ def generate_frame(
     samp: "RowSampling" = None,
     use_fused_fast: bool = False,
     fused_interpret: bool = False,
+    dyn_top_k_cap: int = 256,
 ) -> FrameResult:
     """Sample the semantic token, then run the fast transformer over the
     codebook axis to fill the remaining rows of the frame.
@@ -132,6 +141,11 @@ def generate_frame(
     (B, 2) per-row key chains instead of one key, and `sampling` is
     ignored for math (one compiled program serves any config). Static
     engines pass samp=None and compile `sampling` in.
+
+    dyn_top_k_cap: static ceiling on the dynamic per-row top_k (requests
+    asking for more — or 0 = "all" — clamp to it). Bounds the
+    lax.top_k width: at k_max == vocab the dynamic sampler is a full
+    per-row sort, which measured ~30% of the 16-way serving decode step.
 
     The fast KV cache is created fresh every frame — the reference clears
     it per frame too (single_batch.rs:146); at num_codebooks entries it
@@ -147,7 +161,8 @@ def generate_frame(
     else:
         rng, sem_rng = jax.random.split(rng)
     semantic = sample_semantic(
-        logits, lm, token_cfg, cfg, sampling, sem_rng, samp=samp
+        logits, lm, token_cfg, cfg, sampling, sem_rng, samp=samp,
+        dyn_top_k_cap=dyn_top_k_cap,
     )
     is_eos = semantic == token_cfg.im_end_id
 
@@ -177,7 +192,7 @@ def generate_frame(
             fused_fast_frame_batched,
         )
 
-        k_dyn = cfg.codebook_size
+        k_dyn = min(dyn_top_k_cap, cfg.codebook_size)
         keys_flat = ks[:, 1:].reshape(b * cfg.num_codebooks, 2)
         gum = jax.vmap(
             lambda kk: jax.random.gumbel(kk, (k_dyn,), dtype=jnp.float32)
@@ -253,7 +268,7 @@ def generate_frame(
             tok = sample_top_k_top_p_dynamic(
                 cb_logits, ks[:, cb + 1], temp=samp.temp,
                 top_p=samp.top_p, top_k=samp.top_k,
-                k_max=cfg.codebook_size,
+                k_max=min(dyn_top_k_cap, cfg.codebook_size),
             )
         else:
             tok = sample_top_k_top_p(

@@ -309,16 +309,22 @@ class FireflyStreamSession(StreamSessionBase):
     def _template(self):
         # The zero init state is immutable (feed threads NEW state through
         # decode_step), so one template per batch size is shared by every
-        # session: building ~126 zero leaves eagerly costs ~250 ms of
-        # per-leaf dispatch through a remote device tunnel per request
-        # otherwise (measured; docs/TPU_NOTES.md #14).
+        # session. Built under ONE jit: eager per-leaf jnp.zeros would
+        # compile+dispatch ~126 tiny device programs, measured at ~17 s of
+        # compiles in start_stream plus ~24 s of serialized remote
+        # executions draining behind it on a cold 1-vCPU host through the
+        # axon tunnel (docs/TPU_NOTES.md #14). stream_state_init reads the
+        # params only for shapes/dtypes, so no weights are baked into the
+        # traced program as constants.
         cache = self.codec._stream_init_cache
         if self.batch not in cache:
             from fish_speech_tpu.models.codec.firefly_stream import (
                 stream_state_init,
             )
 
-            cache[self.batch] = stream_state_init(
-                self.codec.params, self.codec.cfg, self.batch
-            )
+            cache[self.batch] = jax.jit(
+                lambda: stream_state_init(
+                    self.codec.params, self.codec.cfg, self.batch
+                )
+            )()
         return cache[self.batch]

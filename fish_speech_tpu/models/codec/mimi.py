@@ -861,14 +861,19 @@ class MimiStreamSession(StreamSessionBase):
     def _template(self):
         # the zero init state is immutable (feed threads NEW state through
         # decode_step), so one template per (batch, tsteps) is shared by
-        # every session — per-session eager zero-building costs hundreds of
-        # ms of per-leaf dispatch through a remote device tunnel otherwise
-        # (docs/TPU_NOTES.md #14)
+        # every session. Built under ONE jit: eager per-leaf zeros would
+        # compile+dispatch one tiny device program per leaf, which a cold
+        # 1-vCPU host pays as tens of seconds of serialized compiles and
+        # remote executions through the axon tunnel (docs/TPU_NOTES.md #14;
+        # measured on the Firefly session, same mechanics). The init reads
+        # params only for shapes/dtypes, so no weights become constants.
         cache = self.codec._stream_init_cache
         key = (self.batch, self._tsteps())
         if key not in cache:
-            cache[key] = mimi_decode_stream_init(
-                self.codec.params, self.codec.cfg, self.batch,
-                max_step=self._tsteps(),
-            )
+            cache[key] = jax.jit(
+                lambda: mimi_decode_stream_init(
+                    self.codec.params, self.codec.cfg, self.batch,
+                    max_step=self._tsteps(),
+                )
+            )()
         return cache[key]

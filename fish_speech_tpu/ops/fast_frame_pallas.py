@@ -512,25 +512,51 @@ def fused_fast_frame(
     return out[0]
 
 
+def _row_block(b: int) -> int:
+    """Rows processed per grid step of the batched kernel. 4 is the
+    largest hardware-proven unroll: the per-row attention + rank-sampler
+    loops are Python-unrolled inside one grid step, and at 16 unrolled
+    rows the register allocator spilled 66 MiB to VMEM next to the
+    ~119 MiB resident weight windows — "Ran out of memory in memory
+    space vmem. Used 188.57M of 128.00M" (measured, 2026-08-19, B=16
+    continuous serving shape). Rows beyond the block ride a SECOND grid
+    dimension instead: weight windows keep constant index maps so they
+    are still fetched once per frame (the whole point of the kernel),
+    while per-step live state stays at the B<=4 footprint."""
+    for rb in (4, 2, 1):
+        if b % rb == 0:
+            return rb
+    return 1
+
+
 def _make_kernel_batched(cfg: DualARConfig, *, rep_enabled: bool,
-                         quantized: bool, b_rows: int):
+                         quantized: bool, b_rows: int, rb: int,
+                         k_dyn: int):
     """Batched variant (round 4): B decode rows share ONE VMEM weight
     fetch per frame, with PER-ROW dynamic sampling parameters
     (temp/top_p/top_k/penalty from SMEM) mirroring
     ops/sampling.sample_top_k_top_p_dynamic — the continuous batcher's
     decode rows run mixed per-request configs through one program.
     Layer math batches rows on the MXU; attention (C <= 8 positions) and
-    the sampler loop rows statically."""
+    the sampler unroll only `rb` rows per grid step (see _row_block);
+    the grid is (num_codebooks, B/rb) with the row dimension innermost,
+    so all row blocks of codebook step cb complete before cb+1."""
     d, h, kv, hd = cfg.dim, cfg.n_head, cfg.n_local_heads, cfg.head_dim
     n_layers, n_cb = cfg.n_fast_layer, cfg.num_codebooks
     cb_size = cfg.codebook_size
     eps = cfg.norm_eps
     scale = 1.0 / (hd**0.5)
     vocab = cb_size
-    k_dyn = vocab  # dynamic sampler's static top_k cap (k_max = cb_size)
+    # k_dyn: the engine's static dynamic-top_k cap (generate_frame's
+    # dyn_top_k_cap clamped to the vocab) — bounds the gumbel operand
+    # width and the keep mask exactly like the XLA sampler's k_max
+    nb = b_rows // rb
+    qkv_width = (h + 2 * kv) * hd
 
     def kernel(
-        x0_ref,        # (B, D) slow hiddens
+        x0_ref,        # (1, rb, D) slow hiddens — this row block (leading
+                       #   nb dim blocked: sublane/lane dims must stay full
+                       #   or 8/128-divisible, so rows ride a LEADING axis)
         an_ref,        # (L, D)
         wqkv_ref,      # (L, D, QKV)
         wo_ref,        # (L, D, D)
@@ -551,20 +577,19 @@ def _make_kernel_batched(cfg: DualARConfig, *, rep_enabled: bool,
             emb_ref,       # (vocab, D) block
             e_ref,         # (D, KV*hd)
             r_ref,         # (H, D) f32
-            p_ref,         # (QKV, QKV)
             cosf_ref,      # (C, QKV) f32
             sinf_ref,      # (C, QKV) f32
-            rp_ref,        # (B, C, W) int32
-            gum_ref,       # (B, C, V) f32 — per-row per-step draws
-            temp_ref,      # (1, B) f32 SMEM
+            rp_ref,        # (1, rb, C, W) int32 — this row block
+            gum_ref,       # (1, rb, C, k_dyn) f32 — this row block's draws
+            temp_ref,      # (1, B) f32 SMEM — FULL width, dynamic reads
             topp_ref,      # (1, B) f32 SMEM
             topk_ref,      # (1, B) i32 SMEM
             pen_ref,       # (1, B) f32 SMEM
             eos_ref,       # (1, B) i32 SMEM
-            out_ref,       # (B, C) int32 (constant window)
-            x_s,           # VMEM scratch (B, D)
-            k_s,           # VMEM scratch (L, B, C, KV*hd)
-            v_s,           # VMEM scratch (L, B, C, KV*hd)
+            out_ref,       # (B, C) int32 (constant window, all rows)
+            x_s,           # VMEM scratch (nb, rb, D): x across cb steps
+            k_s,           # VMEM scratch (L, nb, rb, C, KV*hd): K history
+            v_s,           # VMEM scratch (L, nb, rb, C, KV*hd): V history
         ) = rest
 
         def _wdot(xv, w_ref, s_ref, l):
@@ -579,9 +604,9 @@ def _make_kernel_batched(cfg: DualARConfig, *, rep_enabled: bool,
             return y * s_ref[l, 0, :].astype(xv.dtype)
 
         cb = pl.program_id(0)
+        jblk = pl.program_id(1)  # row-block index (innermost grid dim)
         e_m = e_ref[...]
         r_m = r_ref[...]
-        p_m = p_ref[...]
         iota_v = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (n_cb, 1), 0)
         row_sel = iota_c == cb  # (C, 1)
@@ -593,39 +618,53 @@ def _make_kernel_batched(cfg: DualARConfig, *, rep_enabled: bool,
                 keepdims=True,
             )
 
-        x = jnp.where(cb == 0, x0_ref[...], x_s[...])  # (B, D)
+        x = jnp.where(cb == 0, x0_ref[0], x_s[jblk])  # (rb, D)
         cosf = _row(cosf_ref[...])  # (1, QKV) — position == cb, row-shared
         sinf = _row(sinf_ref[...])
 
+        lane_even = (
+            jax.lax.broadcasted_iota(jnp.int32, (rb, qkv_width), 1) % 2
+        ) == 0
+
         for l in range(n_layers):
             hN = _rms_flat(x, an_ref[l, :], eps)
-            qkv_f = _wdot(hN, wqkv_ref, sqkv_ref, l)  # (B, QKV)
-            perm = jnp.dot(
-                qkv_f, p_m, preferred_element_type=jnp.float32
+            qkv_f = _wdot(hN, wqkv_ref, sqkv_ref, l)  # (rb, QKV)
+            # interleaved-RoPE pair swap via two STATIC lane rolls + an
+            # even/odd select — exact (pure lane moves), and drops the
+            # (QKV, QKV) permutation operand the B=1 kernel uses (3.1 MiB
+            # resident + a per-layer matmul; the B=16 VMEM budget has no
+            # room for it). Wraparound lanes pair across the boundary but
+            # QKV is even, so every even lane reads its right neighbor
+            # and every odd lane its left — the exact pair swap. v lanes
+            # get garbage pairs; sinf is 0 there, neutralizing them.
+            xf = qkv_f.astype(jnp.float32)
+            perm = jnp.where(
+                lane_even,
+                # even lane i <- x[i+1] (roll shift must be >= 0: QKV-1)
+                pltpu.roll(xf, qkv_width - 1, 1),
+                pltpu.roll(xf, 1, 1),   # odd lane i <- x[i-1]
             )
-            rot = (
-                qkv_f.astype(jnp.float32) * cosf + perm * sinf
-            ).astype(qkv_f.dtype)
-            q_flat = rot[:, :d]                      # (B, D)
-            k_flat = rot[:, d : d + kv * hd]         # (B, KV*hd)
-            v_flat = qkv_f[:, d + kv * hd :]         # (B, KV*hd)
+            rot = (xf * cosf + perm * sinf).astype(qkv_f.dtype)
+            q_flat = rot[:, :d]                      # (rb, D)
+            k_flat = rot[:, d : d + kv * hd]         # (rb, KV*hd)
+            v_flat = qkv_f[:, d + kv * hd :]         # (rb, KV*hd)
             sel = iota_c == cb  # (C, 1)
             attn_rows = []
-            for b in range(b_rows):
+            for b in range(rb):
                 k_prev = jnp.where(
-                    cb == 0, 0.0, k_s[l, b].astype(jnp.float32)
+                    cb == 0, 0.0, k_s[l, jblk, b].astype(jnp.float32)
                 )
                 v_prev = jnp.where(
-                    cb == 0, 0.0, v_s[l, b].astype(jnp.float32)
+                    cb == 0, 0.0, v_s[l, jblk, b].astype(jnp.float32)
                 )
-                k_s[l, b] = jnp.where(
+                k_s[l, jblk, b] = jnp.where(
                     sel, k_flat[b : b + 1].astype(jnp.float32), k_prev
                 ).astype(x.dtype)
-                v_s[l, b] = jnp.where(
+                v_s[l, jblk, b] = jnp.where(
                     sel, v_flat[b : b + 1].astype(jnp.float32), v_prev
                 ).astype(x.dtype)
-                ks = k_s[l, b]  # (C, KV*hd)
-                vs = v_s[l, b]
+                ks = k_s[l, jblk, b]  # (C, KV*hd)
+                vs = v_s[l, jblk, b]
                 k_aligned = jnp.dot(
                     e_m, ks.T, preferred_element_type=jnp.float32
                 )  # (D, C)
@@ -659,9 +698,9 @@ def _make_kernel_batched(cfg: DualARConfig, *, rep_enabled: bool,
                 )
             attn_flat = (
                 jnp.concatenate(attn_rows, axis=0)
-                if b_rows > 1
+                if rb > 1
                 else attn_rows[0]
-            )  # (B, D)
+            )  # (rb, D)
             x = x + _wdot(attn_flat, wo_ref, so_ref, l)
             h2 = _rms_flat(x, fn_ref[l, :], eps)
             if quantized:
@@ -675,66 +714,123 @@ def _make_kernel_batched(cfg: DualARConfig, *, rep_enabled: bool,
             w3h = _wdot(h2, w3_ref, s3_ref, l)
             x = x + _wdot(gate * w3h, w2_ref, s2_ref, l)
 
-        fast_out = _rms_flat(x, fnorm_ref[0, :], eps)  # (B, D)
+        fast_out = _rms_flat(x, fnorm_ref[0, :], eps)  # (rb, D)
         logits_all = jnp.dot(
             fast_out, head_ref[...], preferred_element_type=jnp.float32
-        ).astype(jnp.float32)  # (B, V)
+        ).astype(jnp.float32)  # (rb, V)
 
-        # per-row dynamic sampling, mirroring
-        # ops/sampling.sample_top_k_top_p_dynamic exactly
-        tok_cols = []
-        for b in range(b_rows):
-            logits = logits_all[b : b + 1]  # (1, V)
+        # Per-row dynamic sampling, mirroring
+        # ops/sampling.sample_top_k_top_p_dynamic exactly. A fori_loop,
+        # NOT a Python unroll: the rank/cum-mass pass keeps ~3 MiB of
+        # (V, tile) temporaries live per row, and with 4 unrolled rows
+        # the register allocator spilled >20 MiB to VMEM next to the
+        # ~119 MiB resident weight windows — compile-time OOM at the
+        # B=16 serving shape. The loop body compiles once, so only ONE
+        # row's temporaries are ever live.
+        iota_rb = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
+        # 128-wide rank tiles (the B=1 kernel uses 256), fori-looped —
+        # must divide vocab (gated in fused_fast_frame_batched_supported)
+        ti = min(128, vocab)
+
+        def _sample_row(r, tok_acc):
+            rmask = iota_rb == r  # (rb, 1)
+            brow = jblk * rb + r  # global row: SMEM param column
+            logits = jnp.sum(
+                jnp.where(rmask, logits_all, 0.0), axis=0, keepdims=True
+            )  # (1, V)
             if rep_enabled:
+                # rp_ref[0] is (rb, C, W): pick row r, codebook step cb
+                win_r = jnp.sum(
+                    jnp.where(rmask[:, :, None], rp_ref[0][...], 0),
+                    axis=0,
+                )  # (C, W)
                 win = jnp.sum(
-                    jnp.where(row_sel, rp_ref[b], 0), axis=0, keepdims=True
+                    jnp.where(row_sel, win_r, 0), axis=0, keepdims=True
                 )  # (1, W)
                 member = jnp.any(win.T == iota_v, axis=0)[None, :]
-                divisor = jnp.where(member, pen_ref[0, b], 1.0)
+                divisor = jnp.where(member, pen_ref[0, brow], 1.0)
                 logits = logits / divisor
-            temp_b = temp_ref[0, b]
+            temp_b = temp_ref[0, brow]
             t_eff = jnp.maximum(temp_b, 1e-6)
             p_row = jax.nn.softmax(logits / t_eff, axis=-1)  # (1, V)
             pv = p_row[0, :]
-            ti = min(256, vocab)
-            rank_f = jnp.zeros((vocab, 1), jnp.float32)
-            cum_f = jnp.zeros((vocab, 1), jnp.float32)
-            for jb in range(0, vocab, ti):
-                tw = min(ti, vocab - jb)
-                pj = pv[jb : jb + tw]
+            pv_col = pv[:, None]  # (V, 1)
+            pv_row = pv[None, :]  # (1, V)
+
+            # rank/cum-mass tiles as a fori_loop, NOT a Python unroll:
+            # unrolled, the Mosaic scheduler interleaves every tile's
+            # (V, ti) temporaries and the register allocator spills
+            # ~9 MiB to VMEM (measured, B=16: 133 MB > the 128 MB cap
+            # next to the ~122 MiB resident weights). The loop body
+            # compiles once; tile jt reaches lanes [0, ti) via a dynamic
+            # lane rotation (pltpu.roll), the one Mosaic op that allows
+            # a data-dependent lane offset.
+            def _rank_tile(jt, rc):
+                rank_a, cum_a = rc
+                base = jt * ti
+                # lanes [base, base+ti) to [0, ti): roll by -base, which
+                # as a non-negative shift is (V - base) % V
+                pj = pltpu.roll(
+                    pv_row, (vocab - base) % vocab, 1
+                )[:, :ti]  # (1, ti)
                 iota_j = (
-                    jax.lax.broadcasted_iota(jnp.int32, (vocab, tw), 1)
-                    + jb
+                    jax.lax.broadcasted_iota(jnp.int32, (vocab, ti), 1)
+                    + base
                 )
                 iota_i = jax.lax.broadcasted_iota(
-                    jnp.int32, (vocab, tw), 0
+                    jnp.int32, (vocab, ti), 0
                 )
-                cmp = (pj[None, :] > pv[:, None]) | (
-                    (pj[None, :] == pv[:, None]) & (iota_j < iota_i)
-                )
+                cmp = (pj > pv_col) | ((pj == pv_col) & (iota_j < iota_i))
                 cf = cmp.astype(jnp.float32)
-                rank_f = rank_f + jnp.sum(cf, axis=1, keepdims=True)
-                cum_f = cum_f + jnp.dot(
-                    cf, pj[:, None], preferred_element_type=jnp.float32
+                return (
+                    rank_a + jnp.sum(cf, axis=1, keepdims=True),
+                    cum_a + jnp.sum(cf * pj, axis=1, keepdims=True),
                 )
+
+            rank_f, cum_f = jax.lax.fori_loop(
+                0,
+                vocab // ti,
+                _rank_tile,
+                (
+                    jnp.zeros((vocab, 1), jnp.float32),
+                    jnp.zeros((vocab, 1), jnp.float32),
+                ),
+            )
             rank = rank_f[:, 0].astype(jnp.int32)  # (V,)
             cum_excl = cum_f[:, 0]
             # dynamic operand semantics: top_k <= 0 or > k -> all;
             # top_p outside (0, 1) -> disabled
-            tk = topk_ref[0, b]
+            tk = topk_ref[0, brow]
             k_eff_b = jnp.where((tk <= 0) | (tk > k_dyn), k_dyn, tk)
-            tp = topp_ref[0, b]
+            tp = topp_ref[0, brow]
             p_eff_b = jnp.where((tp <= 0.0) | (tp >= 1.0), 1.0, tp)
             keep = (rank < k_eff_b) & (cum_excl < p_eff_b)
-            # gumbel by rank: g_tok[i] = gum[b, cb, rank[i]]
-            oh = (
-                rank[:, None]
-                == jax.lax.broadcasted_iota(jnp.int32, (vocab, k_dyn), 1)
-            ).astype(jnp.float32)
-            g_row = _row(gum_ref[b])  # (1, V) — this step's draws
-            g_tok = jnp.dot(
-                oh, g_row[0, :][:, None],
-                preferred_element_type=jnp.float32,
+            # gumbel by rank: g_tok[i] = gum[brow, cb, rank[i]] — j-tiled
+            # like the rank pass (a full (V, k_dyn) one-hot is 4 MiB)
+            g_r = jnp.sum(
+                jnp.where(rmask[:, :, None], gum_ref[0][...], 0.0),
+                axis=0,
+            )  # (C, V)
+            g_row = _row(g_r)  # (1, k_dyn) — this step's draws
+            rank_col = rank[:, None]  # (V, 1)
+            tig = min(ti, k_dyn)
+
+            def _g_tile(jt, acc):
+                base = jt * tig
+                g_t = pltpu.roll(
+                    g_row, (k_dyn - base) % k_dyn, 1
+                )[:, :tig]  # (1, tig)
+                oh_b = (
+                    rank_col
+                    == jax.lax.broadcasted_iota(jnp.int32, (vocab, tig), 1)
+                    + base
+                ).astype(jnp.float32)
+                # exact: oh_b has one nonzero per row
+                return acc + jnp.sum(oh_b * g_t, axis=1, keepdims=True)
+
+            g_tok = jax.lax.fori_loop(
+                0, k_dyn // tig, _g_tile,
+                jnp.zeros((vocab, 1), jnp.float32),
             )[:, 0]
             score = jnp.where(keep, jnp.log(pv) + g_tok, NEG_INF)
             m = jnp.max(score)
@@ -744,27 +840,43 @@ def _make_kernel_batched(cfg: DualARConfig, *, rep_enabled: bool,
             cand_am = jnp.where(rank == 0, iota_v[0, :], vocab)
             tok_argmax = jnp.min(cand_am)
             tok = jnp.where(temp_b <= 1e-7, tok_argmax, tok_sampled)
-            tok = jnp.where(eos_ref[0, b] != 0, 0, tok)
-            tok_cols.append(tok.reshape(1, 1))
-        tok_col = (
-            jnp.concatenate(tok_cols, axis=0)
-            if b_rows > 1
-            else tok_cols[0]
-        )  # (B, 1)
+            tok = jnp.where(eos_ref[0, brow] != 0, 0, tok)
+            return jnp.where(rmask, tok, tok_acc)
 
-        acc = jnp.where(cb == 0, 0, out_ref[...])
+        tok_col = jax.lax.fori_loop(
+            0, rb, _sample_row, jnp.zeros((rb, 1), jnp.int32)
+        )  # (rb, 1)
+
+        # Scatter this block's tokens into the FULL (B, C) output window
+        # (constant index map -> persists across every grid step, flushed
+        # once at the end). sel_rows[i, r] == 1 iff global row i is this
+        # block's local row r; the f32 dot is exact (tokens < vocab).
+        sel_rows = (
+            jax.lax.broadcasted_iota(jnp.int32, (b_rows, rb), 0)
+            - jblk * rb
+            == jax.lax.broadcasted_iota(jnp.int32, (b_rows, rb), 1)
+        )
+        tok_full = jnp.dot(
+            sel_rows.astype(jnp.float32),
+            tok_col.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # (B, 1)
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (b_rows, n_cb), 0)
+        in_block = (iota_b >= jblk * rb) & (iota_b < jblk * rb + rb)
+        acc = jnp.where((cb == 0) & (jblk == 0), 0, out_ref[...])
         out_ref[...] = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (b_rows, n_cb), 1) == cb,
-            tok_col,
+            (jax.lax.broadcasted_iota(jnp.int32, (b_rows, n_cb), 1) == cb)
+            & in_block,
+            tok_full,
             acc,
         )
         oh_e = (
-            jax.lax.broadcasted_iota(jnp.int32, (b_rows, vocab), 1)
+            jax.lax.broadcasted_iota(jnp.int32, (rb, vocab), 1)
             == tok_col
-        ).astype(emb_ref.dtype)  # (B, V)
-        x_s[...] = jnp.dot(
+        ).astype(emb_ref.dtype)  # (rb, V)
+        x_s[jblk] = jnp.dot(
             oh_e, emb_ref[...], preferred_element_type=jnp.float32
-        ).astype(x0_ref.dtype)  # (B, D)
+        ).astype(x0_ref.dtype)  # (rb, D)
 
     return kernel
 
@@ -805,14 +917,23 @@ def fused_fast_frame_batched(
         ws = None
     lay = wq["wqkv"].shape[0]
     f_dim = wq["w1"].shape[2]
+    rb = _row_block(b)
+    nb = b // rb
+    k_dyn = gumbel.shape[-1]  # the engine's dyn_top_k_cap (<= cb_size)
     kernel = _make_kernel_batched(
-        cfg, rep_enabled=rep_enabled, quantized=quantized, b_rows=b
+        cfg, rep_enabled=rep_enabled, quantized=quantized, b_rows=b,
+        rb=rb, k_dyn=k_dyn,
     )
 
-    const2 = lambda i: (0, 0)
-    const3 = lambda i: (0, 0, 0)
+    const2 = lambda i, j: (0, 0)
+    const3 = lambda i, j: (0, 0, 0)
+    # Per-row-block windows ride a LEADING (nb, rb, ...) axis: Mosaic
+    # requires the last two block dims be 8/128-divisible or full, so
+    # blocking rows on the sublane axis directly is illegal for rb=4.
+    rows3 = lambda i, j: (j, 0, 0)
+    rows4 = lambda i, j: (j, 0, 0, 0)
     in_specs = [
-        pl.BlockSpec((b, d), const2),                   # x0
+        pl.BlockSpec((1, rb, d), rows3),                # x0 (nb, rb, D)
         pl.BlockSpec((lay, d), const2),                 # attention_norm
         pl.BlockSpec((lay, d, qkv), const3),            # wqkv
         pl.BlockSpec((lay, d, d), const3),              # wo
@@ -833,19 +954,18 @@ def fused_fast_frame_batched(
         pl.BlockSpec((1, d), const2),                   # fast_norm
         pl.BlockSpec(
             (d, cb_size),
-            (lambda i: (0, i)) if cfg.depthwise_output else const2,
+            (lambda i, j: (0, i)) if cfg.depthwise_output else const2,
         ),
         pl.BlockSpec(
             (cb_size, d),
-            (lambda i: (i, 0)) if cfg.depthwise_wte else const2,
+            (lambda i, j: (i, 0)) if cfg.depthwise_wte else const2,
         ),
         pl.BlockSpec((d, kv * hd), const2),             # E
         pl.BlockSpec((h, d), const2),                   # R
-        pl.BlockSpec((qkv, qkv), const2),               # P
         pl.BlockSpec((n_cb, qkv), const2),              # cos table
         pl.BlockSpec((n_cb, qkv), const2),              # sin table
-        pl.BlockSpec((b, n_cb, rp_tokens.shape[-1]), const3),  # rp windows
-        pl.BlockSpec((b, n_cb, cb_size), const3),       # gumbel draws
+        pl.BlockSpec((1, rb, n_cb, rp_tokens.shape[-1]), rows4),  # rp
+        pl.BlockSpec((1, rb, n_cb, k_dyn), rows4),      # gumbel draws
         pl.BlockSpec((1, b), const2, memory_space=pltpu.SMEM),  # temp
         pl.BlockSpec((1, b), const2, memory_space=pltpu.SMEM),  # top_p
         pl.BlockSpec((1, b), const2, memory_space=pltpu.SMEM),  # top_k
@@ -853,7 +973,7 @@ def fused_fast_frame_batched(
         pl.BlockSpec((1, b), const2, memory_space=pltpu.SMEM),  # is_eos
     ]
     operands = [
-        hidden,
+        hidden.reshape(nb, rb, d),
         fast["attention_norm"],
         wq["wqkv"],
         wq["wo"],
@@ -872,11 +992,12 @@ def fused_fast_frame_batched(
         )],
         jnp.asarray(e_np, act_dtype),
         jnp.asarray(r_np, jnp.float32),
-        jnp.asarray(p_np, act_dtype),
         jnp.asarray(cos_flat),
         jnp.asarray(sin_flat),
-        rp_tokens.astype(jnp.int32),
-        gumbel.astype(jnp.float32),
+        rp_tokens.astype(jnp.int32).reshape(
+            nb, rb, n_cb, rp_tokens.shape[-1]
+        ),
+        gumbel.astype(jnp.float32).reshape(nb, rb, n_cb, k_dyn),
         samp.temp.astype(jnp.float32).reshape(1, b),
         samp.top_p.astype(jnp.float32).reshape(1, b),
         samp.top_k.astype(jnp.int32).reshape(1, b),
@@ -885,17 +1006,17 @@ def fused_fast_frame_batched(
     ]
     out = pl.pallas_call(
         kernel,
-        grid=(n_cb,),
+        grid=(n_cb, nb),  # row blocks innermost: all rows finish cb, then cb+1
         in_specs=in_specs,
         out_specs=pl.BlockSpec((b, n_cb), const2),
         out_shape=jax.ShapeDtypeStruct((b, n_cb), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((b, d), act_dtype),                    # x
-            pltpu.VMEM((lay, b, n_cb, kv * hd), act_dtype),   # K history
-            pltpu.VMEM((lay, b, n_cb, kv * hd), act_dtype),   # V history
+            pltpu.VMEM((nb, rb, d), act_dtype),                   # x
+            pltpu.VMEM((lay, nb, rb, n_cb, kv * hd), act_dtype),  # K history
+            pltpu.VMEM((lay, nb, rb, n_cb, kv * hd), act_dtype),  # V history
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
@@ -907,11 +1028,14 @@ def fused_fast_frame_batched_supported(
     cfg: DualARConfig, params, batch: int
 ) -> bool:
     """Static eligibility for the batched dynamic-sampling kernel: the
-    B=1 layout constraints plus a row bound (the per-row sampler unroll
-    and gumbel operand grow linearly with B)."""
+    B=1 layout constraints plus a row bound (the gumbel operand and the
+    row-block grid grow linearly with B)."""
     if batch < 1 or batch > 32:
         return False
     if cfg.head_dim % 2:
+        return False
+    # the fori-looped rank/gumbel tiles must divide the vocab evenly
+    if cfg.codebook_size % min(128, cfg.codebook_size):
         return False
     if cfg.num_codebooks > 1:
         if cfg.depthwise_output and cfg.codebook_size % 128:

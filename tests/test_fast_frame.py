@@ -83,12 +83,13 @@ def test_fused_frame_matches_xla(seed):
     np.testing.assert_array_equal(np.asarray(r.rep_pen.tokens), np.asarray(g.rep_pen.tokens))
 
 
-@pytest.mark.parametrize("batch", [2, 4])
+@pytest.mark.parametrize("batch", [2, 4, 8])
 def test_fused_frame_batched_dynamic_matches_xla(batch):
     """Batched dynamic-sampling kernel (r4): per-row temp/top_p/top_k/
     rep-pen as device operands, per-row key chains — token-exact vs the
     XLA dynamic path for mixed row configs incl. an argmax row and an
-    EOS row."""
+    EOS row. batch=8 exercises the multi-row-block grid (two blocks of
+    _row_block(8)=4, the VMEM-bounded path the B=16 serving shape uses)."""
     from fish_speech_tpu.ops.sampling import RowSampling
 
     params = _setup(CFG)
@@ -117,10 +118,10 @@ def test_fused_frame_batched_dynamic_matches_xla(batch):
         jnp.int32,
     )
     samp = RowSampling(
-        temp=jnp.asarray([0.7, 0.0, 1.2, 0.5][:batch]),
-        top_p=jnp.asarray([0.8, 1.0, 0.6, 0.95][:batch]),
-        top_k=jnp.asarray([16, 0, 4, 32][:batch], jnp.int32),
-        rep_pen=jnp.asarray([1.3, 1.0, 1.5, 1.1][:batch]),
+        temp=jnp.asarray(([0.7, 0.0, 1.2, 0.5] * 2)[:batch]),
+        top_p=jnp.asarray(([0.8, 1.0, 0.6, 0.95] * 2)[:batch]),
+        top_k=jnp.asarray(([16, 0, 4, 32] * 2)[:batch], jnp.int32),
+        rep_pen=jnp.asarray(([1.3, 1.0, 1.5, 1.1] * 2)[:batch]),
     )
     keys = jnp.stack([jax.random.PRNGKey(100 + i) for i in range(batch)])
     ref = framemod.generate_frame(
