@@ -45,6 +45,7 @@ import dataclasses
 import logging
 import queue
 import threading
+import time
 from typing import List, Optional
 
 import jax
@@ -167,7 +168,8 @@ class ContinuousBatcher:
         sampling: SamplingArgs,
         *,
         horizon: int = 16,
-        admit_horizon: int = 4,
+        admit_horizon: int = 3,
+        admit_cooldown: int = 2,
         shard_state=None,
     ) -> None:
         """engine must be built with batch_size == number of decode rows
@@ -182,16 +184,27 @@ class ContinuousBatcher:
         self.engine = engine
         self.sampling = sampling
         self.horizon = horizon
-        # Shorter decode chunk for the tick RIGHT AFTER an admission: a
-        # fresh request's first audio event otherwise waits a full
-        # `horizon`-frame chunk AND its first vocode feed decomposes into
-        # two device programs (e.g. 17 frames -> 16+1; through a ~30 ms
-        # round-trip tunnel each program costs real latency). A short
-        # first chunk cut 16-way cold-burst TTFA p50 from ~440-510 ms to
-        # ~395-405 ms measured (bench --ttfa-burst best burst);
-        # steady-state ticks keep the full horizon so aggregate
-        # throughput is unaffected.
+        # Shorter decode chunks around an admission: a fresh request's
+        # first audio event otherwise waits a full `horizon`-frame chunk,
+        # AND its first vocode programs queue behind the NEXT full chunk
+        # (the scheduler dispatches tick N+1 before fetching tick N — at
+        # B=16 a full chunk is ~80 ms of device time in front of every
+        # first-vocode program). So: the admission tick decodes
+        # `admit_horizon` frames (default 3: with the admission frame the
+        # first partial event is 4 frames — a power of two, ONE vocode
+        # program through the session's pow2 decomposition instead of
+        # two), and the `admit_cooldown` ticks after a fresh admission
+        # stay short as well so the clients' first vocode feeds cut into
+        # the device queue early. A short first chunk alone cut 16-way
+        # cold-burst TTFA p50 from ~440-510 ms to ~395-405 ms (round 3);
+        # the pow2 first event + short cooldown ticks + the post-flush
+        # scheduler yield (_run) are the round-4 follow-up. Steady-state
+        # ticks keep the full horizon so sustained throughput is
+        # unaffected.
         self.admit_horizon = min(admit_horizon, horizon)
+        self.admit_cooldown = admit_cooldown
+        self._short_left = 0  # short ticks remaining after a fresh admit
+        self._first_flush = False  # a first partial event was just sent
         self.state: GenState = engine.init_state()
         if shard_state is not None:
             self.state = shard_state(self.state)
@@ -291,9 +304,12 @@ class ContinuousBatcher:
                     prompts = [np.zeros((c + 1, cond), np.int32), chunk]
                 else:
                     prompts = [chunk]
-                # max_new spans the short admit tick AND one full-horizon
-                # tick, so BOTH decode-chunk programs compile here
-                for _ in self.submit(prompts, cond, self.admit_horizon + 2):
+                # max_new spans the short admit tick, the cooldown short
+                # ticks, AND one full-horizon tick, so BOTH decode-chunk
+                # programs compile here; stream=True because only fresh
+                # STREAMING admissions trigger the short-tick path
+                budget = self.admit_horizon * (1 + self.admit_cooldown) + 4
+                for _ in self.submit(prompts, cond, budget, stream=True):
                     pass
         # burst-admission shapes: a cold wave admits new requests in
         # power-of-two groups through prefill_rows (distinct jit shape
@@ -440,6 +456,11 @@ class ContinuousBatcher:
         request (sub-chunk latency: one event per scheduler tick)."""
         if not slot.req.stream or slot.emitted >= len(slot.frames):
             return
+        if slot.emitted == 0:
+            # the request's FIRST audio event: the scheduler yields after
+            # this tick so the client can dispatch its first vocode
+            # program ahead of the next decode chunk (see _run)
+            self._first_flush = True
         new = np.stack(slot.frames[slot.emitted :], axis=1)
         slot.req.results.put(_PartialFrames(frames=new))
         slot.emitted = len(slot.frames)
@@ -481,13 +502,22 @@ class ContinuousBatcher:
             for slot in self.rows
             if slot is not None and slot.active
         ]
-        # FRESH admissions get a short first chunk (low TTFA for cold
-        # requests); next-chunk re-admissions of already-streaming
-        # requests keep the full horizon — their clients hold buffered
-        # audio, and shrinking every chunk-boundary tick to admit_horizon
-        # would cut aggregate throughput under sustained load
-        fresh = any(a.slot.chunk_idx == 0 for a in admits)
-        horizon = self.admit_horizon if fresh else self.horizon
+        # FRESH STREAMING admissions get a short first chunk AND keep the
+        # next `admit_cooldown` ticks short (low TTFA for cold requests:
+        # their first vocode programs land behind a short chunk, not a
+        # full one). Blocking (stream=False) requests see only their
+        # final _ChunkResult, so short ticks would buy them nothing and
+        # cost per-tick overhead — they always run full-horizon chunks.
+        # Next-chunk re-admissions keep the full horizon too: their
+        # clients hold buffered audio, and shrinking every chunk-boundary
+        # tick to admit_horizon would cut sustained throughput.
+        if any(a.slot.chunk_idx == 0 and a.slot.req.stream for a in admits):
+            self._short_left = 1 + self.admit_cooldown
+        if self._short_left > 0:
+            self._short_left -= 1
+            horizon = self.admit_horizon
+        else:
+            horizon = self.horizon
         self.state, out, valid, steps = self.engine.decode_chunk(
             self.state, self.sampling, horizon
         )
@@ -561,6 +591,16 @@ class ContinuousBatcher:
                 flight = self._dispatch()
                 if pending is not None:
                     self._process(pending)
+                    if self._first_flush:
+                        # first-audio events were just delivered: give the
+                        # client threads a beat to dispatch their first
+                        # vocode programs BEFORE this loop enqueues the
+                        # next decode chunk in front of them (measured on
+                        # the 16-way cold burst, bench --ttfa-burst; costs
+                        # ~2 ms of scheduler idle only on first-event
+                        # ticks, never in steady state)
+                        self._first_flush = False
+                        time.sleep(0.002)
                 pending = flight
                 if pending is None and not self._any_active():
                     continue
