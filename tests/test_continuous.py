@@ -473,3 +473,58 @@ def test_burst_prefill_rows_matches_sequential():
     np.testing.assert_allclose(
         np.asarray(st_a.cache.k), np.asarray(st_b.cache.k), atol=1e-5
     )
+
+
+def test_short_ticks_gated_to_streaming_admissions():
+    """Fresh STREAMING admissions run admit_horizon-frame ticks for
+    1 + admit_cooldown ticks (low cold-burst TTFA: the client's first
+    vocode programs land behind short decode chunks); blocking requests
+    never trigger short ticks — they only see their final chunk result,
+    so short chunks would tax throughput for nothing (BASELINE.md
+    cold-burst decomposition)."""
+    import time as _time
+
+    from fish_speech_tpu.generate.continuous import _PartialFrames
+
+    params = init_dual_ar_params(jax.random.PRNGKey(7), CFG, dtype=jnp.float32)
+    engine = LMEngine(
+        params, CFG, TOK, WhichLM.FISH_1_5,
+        batch_size=2, cache_len=64, max_frames=16,
+        dtype=jnp.float32, prompt_buckets=(16,),
+    )
+    horizons = []
+    orig = engine.decode_chunk
+
+    def recording(state, sampling, horizon, **kw):
+        horizons.append(horizon)
+        return orig(state, sampling, horizon, **kw)
+
+    engine.decode_chunk = recording
+    b = ContinuousBatcher(engine, SamplingArgs(temp=0.8, top_k=8), horizon=8)
+    assert b.admit_horizon == 3 and b.admit_cooldown == 2  # defaults
+    try:
+        # blocking request: every tick (incl. the admission tick and the
+        # speculative pipeline tick) runs the full horizon
+        for _ in b.submit([make_prompt(5)], cond_len=0, max_new=12):
+            pass
+        _time.sleep(0.3)  # let the speculative trailing tick record
+        assert horizons and all(h == b.horizon for h in horizons)
+
+        horizons.clear()
+        req = b.submit(
+            [make_prompt(5)], cond_len=0, max_new=12, stream=True
+        )
+        partials = [
+            e for e in req.iter_events() if isinstance(e, _PartialFrames)
+        ]
+        _time.sleep(0.3)
+        # first audio event = admission frame + the short admit tick
+        assert partials
+        assert partials[0].frames.shape[1] <= 1 + b.admit_horizon
+        # the admission tick and the cooldown ticks are short; later
+        # ticks (if the request lived that long) are full-horizon
+        n_short = 1 + b.admit_cooldown
+        assert all(h == b.admit_horizon for h in horizons[:n_short])
+        assert all(h == b.horizon for h in horizons[n_short:])
+    finally:
+        b.shutdown()
