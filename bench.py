@@ -268,7 +268,10 @@ def _serving_setup(s, rows: int, *, codec_buckets, int8: bool, horizon: int = 16
         # --slow-impl / --fast-impl {auto,fused,xla}: A/B the batched
         # fused kernels against the XLA lowering on the SAME harness
         if name in sys.argv:
-            return sys.argv[sys.argv.index(name) + 1]
+            idx = sys.argv.index(name)
+            if idx + 1 >= len(sys.argv):
+                raise SystemExit(f"usage: bench.py {name} {{auto,fused,xla}}")
+            return sys.argv[idx + 1]
         return "auto"
 
     engine = LMEngine(

@@ -12,9 +12,12 @@ FISH_TPU_NATIVE_LIB overrides both (absolute path to the .so).
 
 from __future__ import annotations
 
+import logging
 import os
 from pathlib import Path
 from typing import Optional
+
+logger = logging.getLogger(__name__)
 
 
 def repo_native_dir() -> Path:
@@ -27,7 +30,15 @@ def find_lib() -> Optional[Path]:
     override = os.environ.get("FISH_TPU_NATIVE_LIB")
     if override:
         p = Path(override)
-        return p if p.exists() else None
+        if p.exists():
+            return p
+        # A broken override must not permanently shadow a working
+        # packaged/checkout lib (opus._load_lib re-checks find_lib after
+        # building, and None here would discard the fresh build).
+        logger.warning(
+            "FISH_TPU_NATIVE_LIB=%s does not exist; falling back to the "
+            "packaged/checkout library resolution", override,
+        )
     packaged = Path(__file__).resolve().parents[1] / "_native" / "libfishaudio.so"
     if packaged.exists():
         return packaged

@@ -201,7 +201,13 @@ class ContinuousBatcher:
         # scheduler yield (_run) are the round-4 follow-up. Steady-state
         # ticks keep the full horizon so sustained throughput is
         # unaffected.
-        self.admit_horizon = min(admit_horizon, horizon)
+        # decode_chunk asserts horizon % decode_unroll == 0; round the
+        # admit horizon UP to the engine's unroll (default 3 -> 4 on an
+        # unroll-2/4 engine; unroll-1 engines — the measured "auto" on
+        # v5e — keep the pow2-friendly 3+1-frame first event exactly).
+        u = engine.decode_unroll
+        self.admit_horizon = min(-(-min(admit_horizon, horizon) // u) * u,
+                                 horizon)
         self.admit_cooldown = admit_cooldown
         self._short_left = 0  # short ticks remaining after a fresh admit
         self._first_flush = False  # a first partial event was just sent

@@ -325,9 +325,11 @@ class LMEngine:
         # out/valid and their frames are discarded (see _get_decode_loop).
         # Carried-state REPEATED decode (the batcher / streaming pipeline)
         # should use horizons divisible by the unroll so the carried
-        # position never runs ahead of the reported frames — all in-repo
-        # horizons (4, 16) are; one-shot generate() overshoot is discarded
-        # by the rewind that precedes any continuation.
+        # position never runs ahead of the reported frames — the batcher
+        # rounds its admit horizon up to the unroll in its ctor and
+        # steady horizons (16) are multiples of every in-repo unroll;
+        # one-shot generate() overshoot is discarded by the rewind that
+        # precedes any continuation.
         if decode_unroll == "auto":
             # A/B measured on hardware 2026-08-18 (`bench.py --unroll`,
             # best-of-5 e2e RTF): u1 0.0560 / u2 0.0557 / u4 0.0555,

@@ -67,6 +67,15 @@ def generate_vocode_overlapped(
     shift = shift_fn or (lambda c: c)
     if state is None:
         state = engine.init_state(seed)
+    if engine.dynamic_sampling:
+        # dynamic engines read every sampling knob from state.samp at run
+        # time (engine.generate does the same _replace); without this the
+        # caller's temp/top_p/top_k/rep-pen would be silently ignored in
+        # favor of init_state's defaults. Covers both the init_state and
+        # caller-passed-state paths.
+        from fish_speech_tpu.ops.sampling import RowSampling
+
+        state = state._replace(samp=RowSampling.broadcast(sampling, 1))
     chunk = max(engine.decode_unroll,
                 (chunk // engine.decode_unroll) * engine.decode_unroll)
 

@@ -80,11 +80,17 @@ def initialize_distributed(
     if process_id is None and "FISH_TPU_PROCESS_ID" in os.environ:
         process_id = int(os.environ["FISH_TPU_PROCESS_ID"])
 
+    # Pod detection must not fire on single-host fakes: some TPU runtime
+    # plugins (e.g. the axon tunnel) export TPU_WORKER_HOSTNAMES=localhost
+    # at import time for a single-chip session. A real pod slice lists
+    # MULTIPLE worker hostnames (comma-separated) or sets the megascale
+    # coordinator; one hostname means one process — nothing to do.
+    worker_hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     on_tpu_pod = (
         coordinator_address is None
         and num_processes is None
         and (
-            "TPU_WORKER_HOSTNAMES" in os.environ
+            "," in worker_hosts
             or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
         )
     )
@@ -105,12 +111,22 @@ def initialize_distributed(
         except Exception:  # older jaxlib without the option
             pass
 
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        local_device_ids=local_device_ids,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except (ValueError, RuntimeError) as e:
+        if coordinator_address is not None:
+            raise  # explicit multi-process config: a failure is real
+        # auto-detected pod metadata turned out incomplete (single-host
+        # plugin fakes) — serve single-process rather than crash startup
+        logger.warning(
+            "TPU pod auto-detect failed (%s); continuing single-process", e
+        )
+        return False
     _initialized = True
     logger.info(
         "jax.distributed initialized: process %d/%d, %d local / %d global "

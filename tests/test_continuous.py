@@ -299,6 +299,31 @@ def test_batcher_with_unrolled_decode_matches_serial():
         np.testing.assert_array_equal(chunks[0].tokens, ref.tokens)
 
 
+def test_admit_horizon_rounds_up_to_decode_unroll():
+    """The DEFAULT admit_horizon (3) is not divisible by unroll 2/4;
+    the ctor must round it up or the admission tick's decode_chunk
+    asserts (ADVICE r4). Unroll-1 engines keep it exactly."""
+    params = init_dual_ar_params(jax.random.PRNGKey(5), CFG, dtype=jnp.float32)
+    sampling = SamplingArgs(temp=0.0)
+    for unroll, expect in ((1, 3), (2, 4), (4, 4)):
+        eng = LMEngine(
+            params, CFG, TOK, WhichLM.FISH_1_5,
+            batch_size=1, cache_len=64, max_frames=16,
+            dtype=jnp.float32, prompt_buckets=(16,), decode_unroll=unroll,
+        )
+        b = ContinuousBatcher(eng, sampling, horizon=8)  # default admit=3
+        try:
+            assert b.admit_horizon == expect, (unroll, b.admit_horizon)
+            # the rounded admission tick must actually run (stream=True
+            # triggers the short-tick path that uses admit_horizon)
+            req = b.submit(
+                [make_prompt(7)], cond_len=0, max_new=6, stream=True
+            )
+            assert len([c for c in req]) == 1
+        finally:
+            b.shutdown()
+
+
 def test_shutdown_releases_waiting_clients():
     """Clean shutdown must unblock clients still waiting for chunks
     (both in-flight rows and never-admitted queued requests) instead of

@@ -34,6 +34,23 @@ def test_initialize_is_noop_without_coordinator(monkeypatch):
     assert jax.process_count() == 1
 
 
+def test_initialize_is_noop_with_single_worker_hostname(monkeypatch):
+    """Single-chip runtime plugins (the axon tunnel) export
+    TPU_WORKER_HOSTNAMES=localhost at import time; ONE hostname is not a
+    pod and must not trigger jax.distributed auto-detection (which would
+    crash server startup: no coordinator exists)."""
+    for var in (
+        "FISH_TPU_COORDINATOR",
+        "FISH_TPU_NUM_PROCESSES",
+        "FISH_TPU_PROCESS_ID",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    ):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert dist.initialize_distributed() is False
+    assert jax.process_count() == 1
+
+
 def test_global_mesh_shape_single_process():
     mesh = dist.global_mesh(tp=2)
     assert mesh.axis_names == ("dp", "tp")

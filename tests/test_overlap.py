@@ -20,7 +20,9 @@ from fish_speech_tpu.ops.sampling import SamplingArgs
 from tests.test_server import CODEC_CFG, LM_CFG, NUM_CODEBOOKS, TOK
 
 
-def _engine(im_end_bias: float, max_frames: int = 24) -> LMEngine:
+def _engine(
+    im_end_bias: float, max_frames: int = 24, dynamic_sampling: bool = False
+) -> LMEngine:
     params = init_dual_ar_params(jax.random.PRNGKey(0), LM_CFG, dtype=jnp.float32)
     params["output"] = params["output"].at[:, TOK.im_end_id].multiply(
         im_end_bias
@@ -28,7 +30,7 @@ def _engine(im_end_bias: float, max_frames: int = 24) -> LMEngine:
     return LMEngine(
         params, LM_CFG, TOK, WhichLM.FISH_1_5,
         cache_len=128, max_frames=max_frames, dtype=jnp.float32,
-        prompt_buckets=(16, 32),
+        prompt_buckets=(16, 32), dynamic_sampling=dynamic_sampling,
     )
 
 
@@ -85,6 +87,32 @@ def test_overlap_matches_serial_eos(codec):
     np.testing.assert_array_equal(ref.tokens, res.tokens)
     assert res.frames == ref.frames and res.hit_max == ref.hit_max
     np.testing.assert_allclose(pcm, ref_pcm, atol=2e-3, rtol=1e-2)
+
+
+def test_overlap_installs_sampling_on_dynamic_engine(codec):
+    """Dynamic engines read sampling from GenState.samp at run time; the
+    overlap driver must install the caller's args there (as
+    engine.generate does) — otherwise a rep-pen/temp request silently
+    decodes with SamplingArgs() defaults (ADVICE r4 medium)."""
+    engine = _engine(im_end_bias=0.0, max_frames=24, dynamic_sampling=True)
+    # strong rep-pen changes the greedy stream vs the default 1.0: if
+    # samp is not installed the two runs below would be identical
+    s_ref = SamplingArgs(temp=0.0, repetition_penalty=1.0)
+    s_pen = SamplingArgs(temp=0.0, repetition_penalty=1.8)
+    ref, _ = engine.generate(
+        _prompt(), max_new_tokens=16, sampling=s_ref, seed=11
+    )
+    pen, _ = engine.generate(
+        _prompt(), max_new_tokens=16, sampling=s_pen, seed=11
+    )
+    assert not np.array_equal(ref.tokens, pen.tokens), (
+        "rep-pen must alter this stream for the check to be meaningful"
+    )
+    _, res, _ = generate_vocode_overlapped(
+        engine, codec, _prompt(), sampling=s_pen, max_new_tokens=16,
+        seed=11, chunk=4,
+    )
+    np.testing.assert_array_equal(pen.tokens, res.tokens)
 
 
 def test_overlap_budget_zero(codec):
