@@ -805,7 +805,15 @@ class LMEngine:
                 )
                 return new_state, res.tokens[0], res.is_eos[0]
 
-            self._prefill_jit[key] = prefill_row_fn
+            from fish_speech_tpu.utils import aot
+
+            self._prefill_jit[key] = aot.wrap(
+                "prefill_row",
+                (*self._aot_parts(), self._skey(sampling), kv_extent),
+                prefill_row_fn,
+                donate_argnums=(2,),
+                enabled=self.mesh is None,
+            )
         return self._prefill_jit[key]
 
     def prefill_row(
@@ -834,32 +842,42 @@ class LMEngine:
         fn = self._get_prefill_row(
             sampling, self._kv_extent_for(offset, bucket)
         )
+        # numpy operands throughout: each jnp construction here was its
+        # own host->device transfer on the scheduler thread; jit bundles
+        # numpy args into the call instead
         state, frame, is_eos = fn(
             self.params,
-            jnp.asarray(padded),
+            padded,
             state,
-            jnp.asarray([sl], jnp.int32),
-            jnp.int32(offset),
-            jnp.int32(row),
-            jnp.asarray(RowSampling.row_vector(sampling))[None, :],
+            np.asarray([sl], np.int32),
+            np.int32(offset),
+            np.int32(row),
+            np.asarray(RowSampling.row_vector(sampling))[None, :],
             self._row_key(seed),
         )
         return state, frame, is_eos
 
-    def _row_key(self, seed: Optional[int]) -> jax.Array:
-        """Admission key for one row's chain: PRNGKey(seed), or a fresh
-        random seed when none was requested."""
+    def _row_key(self, seed: Optional[int]) -> np.ndarray:
+        """Admission key for one row's chain: the raw threefry key data
+        of PRNGKey(seed) ([hi, lo] uint32 — layout-asserted in
+        tests/test_dynamic_sampling.py), or a fresh random seed when none
+        was requested. Built host-side: jax.random.PRNGKey dispatches a
+        device program per call, which at a 16-row admission burst was 16
+        needless round trips on the scheduler thread."""
         if seed is None:
             seed = int(np.random.default_rng().integers(0, 2**31 - 1))
-        return jax.random.PRNGKey(int(seed) & 0x7FFFFFFF)
+        seed = int(seed) & 0x7FFFFFFF
+        return np.array([seed >> 32, seed & 0xFFFFFFFF], np.uint32)
 
-    def _get_prefill_rows(self, sampling: SamplingArgs, kv_extent: int):
+    def _get_prefill_rows(self, sampling: SamplingArgs, kv_extent: int,
+                          k_rows: int):
         """Jitted k-row admission prefill (contiguous rows [row0, row0+k)):
         one device program admits a whole burst of requests instead of k
-        sequential prefill_row dispatches. Retraces per k (jit shape
-        specialization); the batcher groups admissions so only a few k
-        values ever occur."""
-        key = ("rows", self._skey(sampling), kv_extent)
+        sequential prefill_row dispatches. Cached (and AOT-seeded) per
+        burst size k — jit would specialize per tokens shape anyway, and
+        the seed store needs one artifact per shape; the batcher groups
+        admissions into pow2 bursts so only log2(B) values ever occur."""
+        key = ("rows", self._skey(sampling), kv_extent, k_rows)
         if key not in self._prefill_jit:
 
             @partial(jax.jit, donate_argnums=(2,))
@@ -935,7 +953,16 @@ class LMEngine:
                 )
                 return new_state, res.tokens, res.is_eos
 
-            self._prefill_jit[key] = prefill_rows_fn
+            from fish_speech_tpu.utils import aot
+
+            self._prefill_jit[key] = aot.wrap(
+                "prefill_rows",
+                (*self._aot_parts(), self._skey(sampling), kv_extent,
+                 k_rows),
+                prefill_rows_fn,
+                donate_argnums=(2,),
+                enabled=self.mesh is None,
+            )
         return self._prefill_jit[key]
 
     def prefill_rows(
@@ -961,21 +988,23 @@ class LMEngine:
         padded = np.zeros((k, c + 1, bucket), np.int32)
         for i, p in enumerate(prompts):
             padded[i, :, : sls[i]] = p
-        fn = self._get_prefill_rows(sampling, self._kv_extent_for(0, bucket))
+        fn = self._get_prefill_rows(
+            sampling, self._kv_extent_for(0, bucket), k
+        )
         if per_row is None:
             per_row = [(sampling, None)] * k
         vecs = np.stack(
             [RowSampling.row_vector(s) for s, _ in per_row]
         )
-        keys = jnp.stack([self._row_key(sd) for _, sd in per_row])
+        keys = np.stack([self._row_key(sd) for _, sd in per_row])
         return fn(
             self.params,
-            jnp.asarray(padded),
+            padded,
             state,
-            jnp.asarray(sls, jnp.int32),
-            jnp.int32(0),
-            jnp.int32(row0),
-            jnp.asarray(vecs),
+            np.asarray(sls, np.int32),
+            np.int32(0),
+            np.int32(row0),
+            vecs,
             keys,
         )
 
@@ -1006,7 +1035,7 @@ class LMEngine:
         steps_in = horizon if max_steps is None else min(max_steps, horizon)
         state, out, valid, _hid, steps = self._get_decode_loop(
             sampling, horizon=horizon
-        )(state, jnp.int32(steps_in))
+        )(state, np.int32(steps_in))
         return state, out, valid, steps
 
     # -- drivers ----------------------------------------------------------

@@ -209,3 +209,19 @@ class TestBatcherPerRequest:
         np.testing.assert_array_equal(
             out[0][1], ref.tokens[:, : out[0][1].shape[1]]
         )
+
+
+def test_row_key_matches_jax_prngkey_layout():
+    """engine._row_key builds the raw threefry key data host-side (a
+    jax.random.PRNGKey call dispatches a device program per admission);
+    the layout must stay bit-identical to jax's or every seeded request's
+    stream silently changes."""
+    import jax
+
+    from fish_speech_tpu.generate.engine import LMEngine
+
+    for seed in (0, 7, 12345678, 2**31 - 1):
+        got = LMEngine._row_key(None, seed)
+        ref = np.asarray(jax.random.PRNGKey(seed & 0x7FFFFFFF))
+        assert got.dtype == ref.dtype == np.uint32
+        np.testing.assert_array_equal(got, ref)
