@@ -67,9 +67,13 @@ def main() -> None:
     )
     parser.add_argument(
         "--quantize-int8",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
+        default=None,
         help="weight-only int8 for the LM matmul stacks (~1.4x decode "
-        "throughput; bf16 is the reference-parity default)",
+        "throughput). Unset: follow the packaged decision file "
+        "(utils/int8_policy.py — flipped mechanically by "
+        "scripts/verify_real_checkpoint.py when the real-weight "
+        "listen-proxy passes); --no-quantize-int8 forces bf16",
     )
     parser.add_argument(
         "--shard",
@@ -117,13 +121,22 @@ def main() -> None:
         logging.info(
             "sharding over %s", dict(zip(mesh.axis_names, mesh.devices.shape))
         )
+    quantize_int8 = args.quantize_int8
+    if quantize_int8 is None:
+        from fish_speech_tpu.utils.int8_policy import serving_default_int8
+
+        quantize_int8 = serving_default_int8()
+        logging.info(
+            "int8 serving default from decision file: %s",
+            "int8" if quantize_int8 else "bf16",
+        )
     pipeline = TTSPipeline.load(
         args.checkpoint,
         model,
         lm_dtype=jnp.bfloat16,
         codec_dtype=jnp.float32,  # server loads codec f32 (load.rs:161-164)
         max_new_tokens=args.max_new_tokens,
-        quantize_int8=args.quantize_int8,
+        quantize_int8=quantize_int8,
         mesh=mesh,
     )
     rep_pen = (
