@@ -404,21 +404,47 @@ def bench_continuous(rows: int = 16) -> None:
 
     s = _setup_fish15()
     int8 = "--int8" in sys.argv  # opt-in weight-only int8 (ops/quant.py)
+    # --blocking: A/B the pre-r5 consumption (whole-chunk vocode after
+    # each chunk result) against the overlapped default
+    blocking = "--blocking" in sys.argv
     n_frames, engine, codec, batcher = _serving_setup(
         s, rows, codec_buckets=(128,), int8=int8
     )
     make_prompt = s.make_prompt
+    from fish_speech_tpu.generate.continuous import _PartialFrames
 
     def run_request(i, out, t_start):
         t0 = time.perf_counter()
-        req = batcher.submit([make_prompt()], cond_len=0, max_new=n_frames)
-        frames = 0
-        audio_s = 0.0
-        for chunk in req:
-            codes = np.ascontiguousarray(chunk.tokens)
-            pcm = codec.decode(codes)[0]  # vocode off the scheduler thread
-            frames += codes.shape[1]
-            audio_s += pcm.shape[-1] / codec.sample_rate
+        if blocking:
+            req = batcher.submit(
+                [make_prompt()], cond_len=0, max_new=n_frames
+            )
+            frames = 0
+            audio_s = 0.0
+            for chunk in req:
+                codes = np.ascontiguousarray(chunk.tokens)
+                pcm = codec.decode(codes)[0]  # vocode off the scheduler thread
+                frames += codes.shape[1]
+                audio_s += pcm.shape[-1] / codec.sample_rate
+        else:
+            # serving default (pipeline.synthesize_streaming_continuous):
+            # stream delivery + carried-state vocode in THIS thread, so
+            # each tick's frames are PCM while later ticks still decode;
+            # low_latency=False keeps full-horizon scheduling (no TTFA
+            # short ticks — that path is measured by --ttfa-burst)
+            req = batcher.submit(
+                [make_prompt()], cond_len=0, max_new=n_frames,
+                stream=True, low_latency=False,
+            )
+            session = codec.start_stream(max_step_frames=batcher.horizon)
+            frames = 0
+            audio_s = 0.0
+            for ev in req.iter_events():
+                if isinstance(ev, _PartialFrames):
+                    codes = _shift_output_tokens_fish15(ev.frames[1:])
+                    pcm = session.feed(codes)
+                    frames += codes.shape[1]
+                    audio_s += pcm.shape[-1] / codec.sample_rate
         wall = time.perf_counter() - t0
         out[i] = (wall, frames, audio_s)
 
@@ -454,7 +480,8 @@ def bench_continuous(rows: int = 16) -> None:
         json.dumps(
             {
                 "metric": f"continuous_{rows}way_per_request_rtf_p50"
-                + ("_int8" if int8 else ""),
+                + ("_int8" if int8 else "")
+                + ("_blocking" if blocking else ""),
                 "value": round(p50_rtf, 4),
                 "unit": "ratio_lower_is_better",
                 "vs_baseline": round(1.0 / p50_rtf, 3),
@@ -1077,6 +1104,107 @@ def bench_encode(trials: int = 5) -> None:
 
 
 
+def bench_int8_proxy(n_frames: int = 128) -> None:
+    """The int8 end-to-end listen-proxy at FULL Fish-1.5 size on the real
+    chip (VERDICT r4 #4): greedy-generate the same prompt with the bf16
+    and the int8-quantized LM, vocode both with the same bf16 codec, and
+    report the pre-registered flip criteria (BASELINE.md):
+      token agreement >= 99%,
+      mel-L1 within 3x the bf16-vs-f32 VOCODER floor,
+      PCM SNR > 15 dB.
+    On real weights the same proxy runs inside
+    scripts/verify_real_checkpoint.py and flips the serving default
+    mechanically; this mode commits the synthetic-checkpoint number the
+    decision table references."""
+    s = _setup_fish15()
+    jax, jnp = s.jax, s.jnp
+
+    from fish_speech_tpu.config import WhichLM
+    from fish_speech_tpu.generate.engine import LMEngine
+    from fish_speech_tpu.models.codec.firefly import (
+        FireflyCodec,
+        init_firefly_params,
+    )
+    from fish_speech_tpu.ops.sampling import SamplingArgs
+    from fish_speech_tpu.utils.quality import mel_l1_distance, pcm_metrics
+
+    sampling = SamplingArgs(temp=0.0, top_p=1.0, top_k=1,
+                            repetition_penalty=1.0)
+    prompt = s.make_prompt()
+    tokens = {}
+    for name, int8 in (("bf16", False), ("int8", True)):
+        engine = LMEngine(
+            s.params, s.cfg, s.tok, WhichLM.FISH_1_5,
+            cache_len=2048, max_frames=n_frames, dtype=jnp.bfloat16,
+            prompt_buckets=(64,), quantize_int8=int8,
+        )
+        res, _ = engine.generate(
+            prompt, max_new_tokens=n_frames, sampling=sampling, seed=0
+        )
+        tokens[name] = np.asarray(res.tokens)
+        log(f"{name}: {res.frames} frames")
+    n = min(tokens["bf16"].shape[-1], tokens["int8"].shape[-1])
+    agree = float((tokens["bf16"][:, :n] == tokens["int8"][:, :n]).mean())
+
+    codec_bf16 = FireflyCodec(s.codec_params, s.codec_cfg, buckets=(n_frames,))
+    pcm_ref = codec_bf16.decode(tokens["bf16"])[0]
+    pcm_q = codec_bf16.decode(tokens["int8"][:, :n])[0]
+    m = min(len(pcm_ref), len(pcm_q))
+    mel = mel_l1_distance(pcm_ref[:m], pcm_q[:m], s.codec_cfg.spec_transform)
+    wave = pcm_metrics(pcm_ref[:m], pcm_q[:m])
+
+    # the mel floor: SAME codes through the bf16 vs f32 vocoder — the
+    # dtype noise a listener already accepts in the serving default
+    fast_device_init = _make_fast_device_init(jax, jnp)
+    codec_f32_params = fast_device_init(
+        lambda: init_firefly_params(
+            jax.random.PRNGKey(1), s.codec_cfg, jnp.float32
+        ),
+        seed=1,
+    )
+    codec_f32 = FireflyCodec(codec_f32_params, s.codec_cfg, buckets=(n_frames,))
+    pcm_f32 = codec_f32.decode(tokens["bf16"])[0]
+    floor = mel_l1_distance(
+        pcm_ref[: len(pcm_f32)], pcm_f32[: len(pcm_ref)],
+        s.codec_cfg.spec_transform,
+    )
+    from fish_speech_tpu.utils import int8_policy
+
+    passed = int8_policy.evaluate(agree, mel, floor, wave["snr_db"])
+    int8_policy.record_decision(
+        {
+            "token_agreement": agree,
+            "frames_compared": n,
+            "mel_l1": mel,
+            "mel_floor_bf16_vs_f32": floor,
+            "snr_db": wave["snr_db"],
+        },
+        passed,
+        real_weights=False,  # synthetic checkpoint: evidence only
+        evidence="bench.py --int8-proxy (synthetic Fish-1.5-size, TPU)",
+    )
+    log(
+        f"int8 proxy: token agreement {agree:.2%} over {n} frames, "
+        f"mel-L1 {mel:.4f} (floor {floor:.4f}, 3x = {3 * floor:.4f}), "
+        f"SNR {wave['snr_db']:.1f} dB -> criteria "
+        f"{'PASS' if passed else 'FAIL'}"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "int8_listen_proxy_token_agreement",
+                "value": round(agree, 5),
+                "unit": "fraction_higher_is_better",
+                "vs_baseline": round(agree / 0.99, 3),
+                "mel_l1": round(float(mel), 5),
+                "mel_floor_bf16_vs_f32": round(float(floor), 5),
+                "snr_db": round(float(wave["snr_db"]), 2),
+                "criteria_pass": passed,
+            }
+        )
+    )
+
+
 def bench_ttfa_loaded(rows: int = 16, trials: int = 5) -> None:
     """Time-to-first-audio for a streaming request admitted into a
     continuous batcher ALREADY SERVING rows-1 concurrent requests —
@@ -1170,6 +1298,8 @@ if __name__ == "__main__":
         bench_encode()
     elif "--ttfa-loaded" in sys.argv:
         bench_ttfa_loaded()
+    elif "--int8-proxy" in sys.argv:
+        bench_int8_proxy()
     elif "--ttfa-burst" in sys.argv:
         i = sys.argv.index("--ttfa-burst")
         n = (
