@@ -248,8 +248,9 @@ def main() -> int:
         fix_root = Path(tempfile.mkdtemp(prefix="fish_synth_fix_"))
 
         codes, pcm, sr, enc, t = run_pipeline(str(tmp), "1.5", TEXT, SEED)
-        # int8 listen-proxy must run in the dry-run too (the gate below)
-        _report_int8_proxy(str(tmp), "1.5", codes, pcm)
+        # int8 listen-proxy must run in the dry-run too (the gate below);
+        # synthetic evidence never flips the packaged default
+        _report_int8_proxy(str(tmp), "1.5", codes, pcm, real_weights=False)
         fix_dir = fix_root / "1.5"
         rc = verify_or_record(fix_dir, "1.5", codes, pcm, sr, enc, t,
                               args.pcm_tol)
@@ -269,21 +270,59 @@ def main() -> int:
     codes, pcm, sr, enc, t = run_pipeline(
         args.checkpoint, args.model, TEXT, SEED
     )
-    _report_int8_proxy(args.checkpoint, args.model, codes, pcm)
+    _report_int8_proxy(
+        args.checkpoint, args.model, codes, pcm, real_weights=True
+    )
     return verify_or_record(
         Path(args.fixtures) / args.model, args.model, codes, pcm, sr, enc,
         t, args.pcm_tol,
     )
 
 
+def _mel_floor(checkpoint: str, model_str: str, ref_codes,
+               ref_pcm) -> float:
+    """The bf16-vs-f32 VOCODER floor on THESE codes: decode the bf16
+    generation's codes through a bf16 codec and mel-compare against the
+    f32-codec PCM the pipeline produced. This is the dtype noise a
+    listener already accepts in the serving default — the pre-registered
+    mel criterion is relative to it (BASELINE.md)."""
+    import jax.numpy as jnp
+
+    from fish_speech_tpu.config import FireflyConfig, FishVersion, WhichModel
+    from fish_speech_tpu.io.checkpoint import load_firefly_params
+    from fish_speech_tpu.models.codec.firefly import FireflyCodec
+    from fish_speech_tpu.utils.quality import mel_l1_distance
+
+    model = WhichModel(model_str)
+    p = Path(checkpoint) if checkpoint else None
+    if p is None or not p.is_dir():
+        from fish_speech_tpu.io.hub import resolve_checkpoint
+
+        p = resolve_checkpoint(checkpoint, model).dir
+    cfg = FireflyConfig.for_version(model.fish_version or FishVersion.V1_5)
+    codec = FireflyCodec(
+        load_firefly_params(p, cfg, dtype=jnp.bfloat16),
+        cfg, buckets=(ref_codes.shape[-1],),
+    )
+    pcm_bf16 = np.asarray(codec.decode(ref_codes))
+    if pcm_bf16.ndim == 2:
+        pcm_bf16 = pcm_bf16[0]
+    m = min(len(ref_pcm), len(pcm_bf16))
+    return mel_l1_distance(ref_pcm[:m], pcm_bf16[:m], cfg.spec_transform)
+
+
 def _report_int8_proxy(checkpoint: str, model_str: str,
-                       ref_codes, ref_pcm) -> None:
-    """The int8 go/no-go listen-proxy (VERDICT r3 #6): greedy-generate
-    the same text with the int8-quantized LM, vocode, and report token
-    agreement + mel-space distance + PCM SNR vs the bf16 generation
-    (methodology: reference tests/e2e/hello.py). Record the numbers in
-    BASELINE.md next to the int8 decision."""
-    from fish_speech_tpu.config import FireflyConfig  # noqa: F401
+                       ref_codes, ref_pcm, *,
+                       real_weights: bool) -> bool:
+    """The int8 go/no-go listen-proxy (VERDICT r3 #6, r4 #4):
+    greedy-generate the same text with the int8-quantized LM, vocode,
+    and score token agreement + mel-space distance + PCM SNR vs the bf16
+    generation (methodology: reference tests/e2e/hello.py) against the
+    pre-registered criteria (utils/int8_policy.py). A PASSING run on
+    real weights flips the packaged serving default to int8
+    automatically; a failing one pins bf16. Returns pass/fail."""
+    from fish_speech_tpu.config import FireflyConfig, FishVersion, WhichModel
+    from fish_speech_tpu.utils import int8_policy
     from fish_speech_tpu.utils.quality import mel_l1_distance, pcm_metrics
 
     codes_q, pcm_q, sr_q, _enc_q, _t = run_pipeline(
@@ -293,19 +332,36 @@ def _report_int8_proxy(checkpoint: str, model_str: str,
     tok_agree = (
         float((ref_codes[:, :n] == codes_q[:, :n]).mean()) if n else 0.0
     )
-    from fish_speech_tpu.config import FishVersion, WhichModel
-
     spec_cfg = FireflyConfig.for_version(
         WhichModel(model_str).fish_version or FishVersion.V1_5
     ).spec_transform
-    mel = mel_l1_distance(ref_pcm, pcm_q, spec_cfg)
-    wave = pcm_metrics(ref_pcm, pcm_q)
+    m = min(len(ref_pcm), len(pcm_q))
+    mel = mel_l1_distance(ref_pcm[:m], pcm_q[:m], spec_cfg)
+    wave = pcm_metrics(ref_pcm[:m], pcm_q[:m])
+    floor = _mel_floor(checkpoint, model_str, ref_codes, ref_pcm)
+    passed = int8_policy.evaluate(tok_agree, mel, floor, wave["snr_db"])
+    metrics = {
+        "token_agreement": tok_agree,
+        "frames_compared": n,
+        "mel_l1": mel,
+        "mel_floor_bf16_vs_f32": floor,
+        "snr_db": wave["snr_db"],
+    }
+    decision = int8_policy.record_decision(
+        metrics, passed, real_weights=real_weights,
+        evidence=f"verify_real_checkpoint.py model={model_str} "
+        f"checkpoint={'<hub>' if not checkpoint else checkpoint}",
+    )
     log(
         f"INT8 LISTEN-PROXY ({model_str}): greedy token agreement "
-        f"{tok_agree:.1%} over {n} frames, mel-L1 {mel:.4f}, "
-        f"PCM SNR {wave['snr_db']:.1f} dB "
-        f"(identical streams -> agreement 100%, mel 0)"
+        f"{tok_agree:.1%} over {n} frames, mel-L1 {mel:.4f} "
+        f"(floor {floor:.4f}, 3x = {3 * floor:.4f}), "
+        f"PCM SNR {wave['snr_db']:.1f} dB -> criteria "
+        f"{'PASS' if passed else 'FAIL'}; serving default now "
+        f"{decision['default']}"
+        + ("" if real_weights else " (synthetic run: default unchanged)")
     )
+    return passed
 
 
 if __name__ == "__main__":
