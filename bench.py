@@ -1106,12 +1106,19 @@ def bench_encode(trials: int = 5) -> None:
 
 def bench_int8_proxy(n_frames: int = 128) -> None:
     """The int8 end-to-end listen-proxy at FULL Fish-1.5 size on the real
-    chip (VERDICT r4 #4): greedy-generate the same prompt with the bf16
-    and the int8-quantized LM, vocode both with the same bf16 codec, and
-    report the pre-registered flip criteria (BASELINE.md):
-      token agreement >= 99%,
-      mel-L1 within 3x the bf16-vs-f32 VOCODER floor,
+    chip (VERDICT r4 #4): score the bf16 and the int8-quantized LM
+    TEACHER-FORCED on the same bf16-generated trajectory, vocode both
+    models' per-position predictions with the same bf16 codec, and
+    report the pre-registered flip criteria (utils/int8_policy.py):
+      teacher-forced token agreement >= 99%,
+      mel-L1 of the aligned predictions within 3x the bf16-vs-f32
+        VOCODER floor,
       PCM SNR > 15 dB.
+    Teacher forcing is the cascade-free form of every criterion: a
+    free-running comparison measures first-divergence position, not
+    quality (one flipped argmax reroutes the whole later trajectory, and
+    two different-but-valid generations read as noise against each
+    other). The free-running agreement is still recorded as evidence.
     On real weights the same proxy runs inside
     scripts/verify_real_checkpoint.py and flips the serving default
     mechanically; this mode commits the synthetic-checkpoint number the
@@ -1125,13 +1132,20 @@ def bench_int8_proxy(n_frames: int = 128) -> None:
         FireflyCodec,
         init_firefly_params,
     )
+    from fish_speech_tpu.ops.quant import quantize_lm_params
     from fish_speech_tpu.ops.sampling import SamplingArgs
-    from fish_speech_tpu.utils.quality import mel_l1_distance, pcm_metrics
+    from fish_speech_tpu.utils.quality import (
+        mel_l1_distance,
+        pcm_metrics,
+        teacher_forced_agreement,
+        teacher_forced_predictions,
+    )
 
     sampling = SamplingArgs(temp=0.0, top_p=1.0, top_k=1,
                             repetition_penalty=1.0)
     prompt = s.make_prompt()
     tokens = {}
+    semantic = {}
     for name, int8 in (("bf16", False), ("int8", True)):
         engine = LMEngine(
             s.params, s.cfg, s.tok, WhichLM.FISH_1_5,
@@ -1142,13 +1156,35 @@ def bench_int8_proxy(n_frames: int = 128) -> None:
             prompt, max_new_tokens=n_frames, sampling=sampling, seed=0
         )
         tokens[name] = np.asarray(res.tokens)
+        semantic[name] = np.asarray(res.semantic)
         log(f"{name}: {res.frames} frames")
-    n = min(tokens["bf16"].shape[-1], tokens["int8"].shape[-1])
-    agree = float((tokens["bf16"][:, :n] == tokens["int8"][:, :n]).mean())
+        del engine  # free the int8 weight copy before the scoring pass
+    n_free = min(tokens["bf16"].shape[-1], tokens["int8"].shape[-1])
+    free_agree = float(
+        (tokens["bf16"][:, :n_free] == tokens["int8"][:, :n_free]).mean()
+    )
 
+    # --- teacher-forced scoring on the bf16 trajectory (prompt included)
+    seq = np.concatenate(
+        [prompt, np.concatenate([semantic["bf16"][None], tokens["bf16"]], 0)],
+        axis=1,
+    )  # (C+1, S) raw LM token space
+    preds_bf16 = teacher_forced_predictions(s.params, s.cfg, s.tok, seq)
+    preds_int8 = teacher_forced_predictions(
+        quantize_lm_params(s.params), s.cfg, s.tok, seq
+    )
+    tf = teacher_forced_agreement(preds_bf16, preds_int8)
+
+    # --- audio impact of exactly the disagreeing decisions: vocode the
+    # POSITIONALLY ALIGNED teacher-forced codebook predictions of both
+    # models (same serving shift the streaming path applies)
+    mask = preds_bf16[2]
+    codes_ref = _shift_output_tokens_fish15(preds_bf16[1][mask].T)
+    codes_q = _shift_output_tokens_fish15(preds_int8[1][mask].T)
+    n_audio = codes_ref.shape[-1]
     codec_bf16 = FireflyCodec(s.codec_params, s.codec_cfg, buckets=(n_frames,))
-    pcm_ref = codec_bf16.decode(tokens["bf16"])[0]
-    pcm_q = codec_bf16.decode(tokens["int8"][:, :n])[0]
+    pcm_ref = codec_bf16.decode(codes_ref)[0]
+    pcm_q = codec_bf16.decode(codes_q)[0]
     m = min(len(pcm_ref), len(pcm_q))
     mel = mel_l1_distance(pcm_ref[:m], pcm_q[:m], s.codec_cfg.spec_transform)
     wave = pcm_metrics(pcm_ref[:m], pcm_q[:m])
@@ -1163,28 +1199,36 @@ def bench_int8_proxy(n_frames: int = 128) -> None:
         seed=1,
     )
     codec_f32 = FireflyCodec(codec_f32_params, s.codec_cfg, buckets=(n_frames,))
-    pcm_f32 = codec_f32.decode(tokens["bf16"])[0]
+    pcm_f32 = codec_f32.decode(codes_ref)[0]
     floor = mel_l1_distance(
         pcm_ref[: len(pcm_f32)], pcm_f32[: len(pcm_ref)],
         s.codec_cfg.spec_transform,
     )
     from fish_speech_tpu.utils import int8_policy
 
+    agree = tf["combined"]
     passed = int8_policy.evaluate(agree, mel, floor, wave["snr_db"])
     int8_policy.record_decision(
         {
             "token_agreement": agree,
-            "frames_compared": n,
+            "token_agreement_slow": tf["slow"],
+            "token_agreement_fast": tf["fast"],
+            "token_agreement_free_running": free_agree,
+            "predictions_compared": tf["n"],
+            "frames_compared": n_audio,
             "mel_l1": mel,
             "mel_floor_bf16_vs_f32": floor,
             "snr_db": wave["snr_db"],
         },
         passed,
         real_weights=False,  # synthetic checkpoint: evidence only
-        evidence="bench.py --int8-proxy (synthetic Fish-1.5-size, TPU)",
+        evidence="bench.py --int8-proxy (synthetic Fish-1.5-size, TPU, "
+        "teacher-forced)",
     )
     log(
-        f"int8 proxy: token agreement {agree:.2%} over {n} frames, "
+        f"int8 proxy: teacher-forced agreement {agree:.2%} over "
+        f"{tf['n']:.0f} predictions (slow {tf['slow']:.2%} fast "
+        f"{tf['fast']:.2%}; free-running {free_agree:.2%}), "
         f"mel-L1 {mel:.4f} (floor {floor:.4f}, 3x = {3 * floor:.4f}), "
         f"SNR {wave['snr_db']:.1f} dB -> criteria "
         f"{'PASS' if passed else 'FAIL'}"
@@ -1196,6 +1240,7 @@ def bench_int8_proxy(n_frames: int = 128) -> None:
                 "value": round(agree, 5),
                 "unit": "fraction_higher_is_better",
                 "vs_baseline": round(agree / 0.99, 3),
+                "token_agreement_free_running": round(free_agree, 5),
                 "mel_l1": round(float(mel), 5),
                 "mel_floor_bf16_vs_f32": round(float(floor), 5),
                 "snr_db": round(float(wave["snr_db"]), 2),

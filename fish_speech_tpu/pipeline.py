@@ -48,6 +48,11 @@ class SynthesisChunk:
     pcm: np.ndarray  # (T,) f32 at the codec sample rate
     codes: np.ndarray  # (C, frames)
     result: GenerationResult
+    # the encoded (C+1, S) prompt this chunk was generated from — lets
+    # offline scorers (scripts/verify_real_checkpoint.py's teacher-forced
+    # int8 proxy) rebuild the exact LM context without re-deriving the
+    # text frontend's chunking/sysprompt decisions
+    prompt: Optional[np.ndarray] = None
 
 
 class TTSPipeline:
@@ -281,7 +286,9 @@ class TTSPipeline:
             codes = self._shift_output_tokens(result.tokens)
             if pcm is None:
                 pcm = self.codec.decode(codes)[0]
-            yield SynthesisChunk(pcm=pcm, codes=codes, result=result)
+            yield SynthesisChunk(
+                pcm=pcm, codes=codes, result=result, prompt=chunk_tokens
+            )
 
     def synthesize_streaming(
         self,

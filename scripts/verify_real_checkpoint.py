@@ -61,7 +61,9 @@ def _sha(arr: np.ndarray) -> str:
 def run_pipeline(checkpoint: str, model_str: str, text: str, seed: int,
                  quantize_int8: bool = False):
     """The serving path, end to end; returns (codes, pcm, sample_rate,
-    encode_codes, timings)."""
+    encode_codes, timings, extras). extras carries the live pipeline and
+    the first synthesis chunk (its encoded prompt + raw generation) for
+    the teacher-forced int8 proxy (_report_int8_proxy)."""
     import jax.numpy as jnp
 
     from fish_speech_tpu.config import WhichModel
@@ -97,7 +99,8 @@ def run_pipeline(checkpoint: str, model_str: str, text: str, seed: int,
     enc = np.asarray(enc)
     if enc.ndim == 3:
         enc = enc[0]
-    return codes, pcm, sr, enc, {
+    extras = {"pipe": pipe, "first_chunk": chunks[0]}
+    return codes, pcm, sr, enc, extras, {
         "load_s": round(t_load, 2),
         "generate_s": round(t_gen, 2),
         "encode_s": round(t_enc, 2),
@@ -247,10 +250,11 @@ def main() -> int:
         FireflyConfig.for_version = staticmethod(lambda v: codec_cfg)
         fix_root = Path(tempfile.mkdtemp(prefix="fish_synth_fix_"))
 
-        codes, pcm, sr, enc, t = run_pipeline(str(tmp), "1.5", TEXT, SEED)
+        codes, pcm, sr, enc, ex, t = run_pipeline(str(tmp), "1.5", TEXT, SEED)
         # int8 listen-proxy must run in the dry-run too (the gate below);
         # synthetic evidence never flips the packaged default
-        _report_int8_proxy(str(tmp), "1.5", codes, pcm, real_weights=False)
+        _report_int8_proxy(str(tmp), "1.5", codes, pcm, ex,
+                           real_weights=False)
         fix_dir = fix_root / "1.5"
         rc = verify_or_record(fix_dir, "1.5", codes, pcm, sr, enc, t,
                               args.pcm_tol)
@@ -267,11 +271,11 @@ def main() -> int:
         log("SYNTHETIC DRY-RUN OK: record, verify, and drift-trip all work")
         return 0
 
-    codes, pcm, sr, enc, t = run_pipeline(
+    codes, pcm, sr, enc, ex, t = run_pipeline(
         args.checkpoint, args.model, TEXT, SEED
     )
     _report_int8_proxy(
-        args.checkpoint, args.model, codes, pcm, real_weights=True
+        args.checkpoint, args.model, codes, pcm, ex, real_weights=True
     )
     return verify_or_record(
         Path(args.fixtures) / args.model, args.model, codes, pcm, sr, enc,
@@ -312,36 +316,86 @@ def _mel_floor(checkpoint: str, model_str: str, ref_codes,
 
 
 def _report_int8_proxy(checkpoint: str, model_str: str,
-                       ref_codes, ref_pcm, *,
+                       ref_codes, ref_pcm, ref_extras, *,
                        real_weights: bool) -> bool:
-    """The int8 go/no-go listen-proxy (VERDICT r3 #6, r4 #4):
-    greedy-generate the same text with the int8-quantized LM, vocode,
-    and score token agreement + mel-space distance + PCM SNR vs the bf16
-    generation (methodology: reference tests/e2e/hello.py) against the
-    pre-registered criteria (utils/int8_policy.py). A PASSING run on
-    real weights flips the packaged serving default to int8
-    automatically; a failing one pins bf16. Returns pass/fail."""
+    """The int8 go/no-go listen-proxy (VERDICT r3 #6, r4 #4): score the
+    bf16 and the int8-quantized LM TEACHER-FORCED on the bf16
+    generation's exact context (prompt + trajectory), vocode both
+    models' positionally-aligned per-position predictions, and compare
+    token agreement + mel-space distance + PCM SNR against the
+    pre-registered criteria (utils/int8_policy.py — the docstring there
+    explains why free-running comparison would measure divergence
+    position, not quality; methodology: reference
+    tests/e2e/backbone-allclose.py per-position outputs). The int8
+    serving path additionally runs end-to-end for a free-running
+    evidence number. A PASSING run on real weights flips the packaged
+    serving default to int8 automatically; a failing one pins bf16.
+    Returns pass/fail."""
     from fish_speech_tpu.config import FireflyConfig, FishVersion, WhichModel
+    from fish_speech_tpu.ops.quant import quantize_lm_params
     from fish_speech_tpu.utils import int8_policy
-    from fish_speech_tpu.utils.quality import mel_l1_distance, pcm_metrics
+    from fish_speech_tpu.utils.quality import (
+        mel_l1_distance,
+        pcm_metrics,
+        teacher_forced_agreement,
+        teacher_forced_predictions,
+    )
 
-    codes_q, pcm_q, sr_q, _enc_q, _t = run_pipeline(
+    # --- teacher-forced scoring on the bf16 pipeline's first chunk
+    pipe = ref_extras["pipe"]
+    chunk = ref_extras["first_chunk"]
+    seq = np.concatenate(
+        [
+            chunk.prompt,
+            np.concatenate(
+                [chunk.result.semantic[None], chunk.result.tokens], axis=0
+            ),
+        ],
+        axis=1,
+    )  # (C+1, S) raw LM token space
+    engine = pipe.engine
+    preds_bf16 = teacher_forced_predictions(
+        engine.params, engine.cfg, engine.token_cfg, seq
+    )
+    preds_int8 = teacher_forced_predictions(
+        quantize_lm_params(engine.params), engine.cfg, engine.token_cfg, seq
+    )
+    tf = teacher_forced_agreement(preds_bf16, preds_int8)
+    # audio impact of exactly the disagreeing decisions: vocode the
+    # aligned predictions of both models through the SAME codec
+    mask = preds_bf16[2]
+    codes_tf_ref = pipe._shift_output_tokens(preds_bf16[1][mask].T)
+    codes_tf_q = pipe._shift_output_tokens(preds_int8[1][mask].T)
+    pcm_tf_ref = np.asarray(pipe.codec.decode(codes_tf_ref))
+    pcm_tf_q = np.asarray(pipe.codec.decode(codes_tf_q))
+    if pcm_tf_ref.ndim == 2:
+        pcm_tf_ref, pcm_tf_q = pcm_tf_ref[0], pcm_tf_q[0]
+
+    # --- free-running int8 serving path, end to end (evidence; also
+    # proves the quantized pipeline actually serves)
+    codes_q, pcm_q, sr_q, _enc_q, _ex_q, _t = run_pipeline(
         checkpoint, model_str, TEXT, SEED, quantize_int8=True
     )
     n = min(ref_codes.shape[-1], codes_q.shape[-1])
-    tok_agree = (
+    free_agree = (
         float((ref_codes[:, :n] == codes_q[:, :n]).mean()) if n else 0.0
     )
+
     spec_cfg = FireflyConfig.for_version(
         WhichModel(model_str).fish_version or FishVersion.V1_5
     ).spec_transform
-    m = min(len(ref_pcm), len(pcm_q))
-    mel = mel_l1_distance(ref_pcm[:m], pcm_q[:m], spec_cfg)
-    wave = pcm_metrics(ref_pcm[:m], pcm_q[:m])
+    m = min(len(pcm_tf_ref), len(pcm_tf_q))
+    mel = mel_l1_distance(pcm_tf_ref[:m], pcm_tf_q[:m], spec_cfg)
+    wave = pcm_metrics(pcm_tf_ref[:m], pcm_tf_q[:m])
     floor = _mel_floor(checkpoint, model_str, ref_codes, ref_pcm)
+    tok_agree = tf["combined"]
     passed = int8_policy.evaluate(tok_agree, mel, floor, wave["snr_db"])
     metrics = {
         "token_agreement": tok_agree,
+        "token_agreement_slow": tf["slow"],
+        "token_agreement_fast": tf["fast"],
+        "token_agreement_free_running": free_agree,
+        "predictions_compared": tf["n"],
         "frames_compared": n,
         "mel_l1": mel,
         "mel_floor_bf16_vs_f32": floor,
@@ -350,11 +404,14 @@ def _report_int8_proxy(checkpoint: str, model_str: str,
     decision = int8_policy.record_decision(
         metrics, passed, real_weights=real_weights,
         evidence=f"verify_real_checkpoint.py model={model_str} "
-        f"checkpoint={'<hub>' if not checkpoint else checkpoint}",
+        f"checkpoint={'<hub>' if not checkpoint else checkpoint} "
+        "(teacher-forced)",
     )
     log(
-        f"INT8 LISTEN-PROXY ({model_str}): greedy token agreement "
-        f"{tok_agree:.1%} over {n} frames, mel-L1 {mel:.4f} "
+        f"INT8 LISTEN-PROXY ({model_str}): teacher-forced agreement "
+        f"{tok_agree:.1%} over {tf['n']:.0f} predictions "
+        f"(slow {tf['slow']:.1%} fast {tf['fast']:.1%}; free-running "
+        f"{free_agree:.1%} over {n} frames), mel-L1 {mel:.4f} "
         f"(floor {floor:.4f}, 3x = {3 * floor:.4f}), "
         f"PCM SNR {wave['snr_db']:.1f} dB -> criteria "
         f"{'PASS' if passed else 'FAIL'}; serving default now "

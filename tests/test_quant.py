@@ -94,6 +94,51 @@ class TestInt8QualityParity:
         kl = (p * (np.log(p + 1e-12) - np.log(q + 1e-12))).sum(-1)
         assert kl.mean() < 1e-4, f"mean softmax KL {kl.mean():.2e}"
 
+    def test_teacher_forced_agreement_metric(self):
+        """The int8 flip criterion's gating metric
+        (utils/quality.py::teacher_forced_agreement): self-agreement is
+        exactly 1, int8-vs-f32 agreement on a mid-size model holds the
+        same bound the free-running/logit tests above measure, and the
+        audio mask excludes text positions (whose codebook rows are
+        zeros by construction and carry no prediction)."""
+        from fish_speech_tpu.ops.quant import quantize_lm_params
+        from fish_speech_tpu.utils.quality import (
+            teacher_forced_agreement,
+            teacher_forced_predictions,
+        )
+
+        cfg, tok, params = self._mid()
+        rng = np.random.default_rng(2)
+        S, C = 32, cfg.num_codebooks
+        n_text = 8
+        sem = np.concatenate(
+            [rng.integers(1, 40, size=(1, n_text)),
+             rng.integers(50, 82, size=(1, S - n_text))], axis=-1
+        )
+        cbs = np.concatenate(
+            [np.zeros((C, n_text), np.int64),
+             rng.integers(0, cfg.codebook_size, size=(C, S - n_text))],
+            axis=-1,
+        )
+        seq = np.concatenate([sem, cbs], axis=0).astype(np.int32)
+
+        p_f = teacher_forced_predictions(params, cfg, tok, seq)
+        p_q = teacher_forced_predictions(
+            quantize_lm_params(params), cfg, tok, seq
+        )
+        assert p_f[0].shape == (S - 1,)
+        assert p_f[1].shape == (S - 1, C)
+        # audio mask: position t targets frame t+1 — the first n_text-1
+        # targets are text, the rest audio
+        assert not p_f[2][: n_text - 1].any()
+        assert p_f[2][n_text - 1 :].all()
+
+        self_ag = teacher_forced_agreement(p_f, p_f)
+        assert self_ag["combined"] == 1.0
+        ag = teacher_forced_agreement(p_f, p_q)
+        assert ag["n"] == (S - 1) + (S - n_text) * C
+        assert ag["combined"] >= 0.95, f"tf agreement {ag['combined']:.3f}"
+
     def test_greedy_token_stream_agreement(self):
         """Greedy decode must produce the same token stream as full
         precision over a 20-frame generation."""

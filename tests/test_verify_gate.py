@@ -141,7 +141,7 @@ def test_verify_gate_end_to_end_via_fake_hub(tmp_path, monkeypatch):
     )
 
     # hub-resolution path: empty checkpoint means "pinned repo"
-    codes, pcm, sr, enc, timings = vrc.run_pipeline(
+    codes, pcm, sr, enc, extras, timings = vrc.run_pipeline(
         "", "1.5", vrc.TEXT, vrc.SEED
     )
     assert codes.size and pcm.size and sr > 0
@@ -153,12 +153,18 @@ def test_verify_gate_end_to_end_via_fake_hub(tmp_path, monkeypatch):
 
     # int8 listen-proxy runs (real_weights=True exercises the flip path;
     # DECISION_FILE is redirected so nothing packaged changes)
-    passed = vrc._report_int8_proxy("", "1.5", codes, pcm,
+    passed = vrc._report_int8_proxy("", "1.5", codes, pcm, extras,
                                     real_weights=True)
     decision = json.loads((tmp_path / "decision.json").read_text())
     assert decision["default"] == ("int8" if passed else "bf16")
     assert decision["runs"][-1]["passed"] == passed
     assert decision["decided_on_real_weights"] is True
+    # the gating agreement is the teacher-forced one; the free-running
+    # number rides along as evidence
+    m = decision["runs"][-1]["metrics"]
+    assert "token_agreement_free_running" in m
+    assert 0.0 <= m["token_agreement"] <= 1.0
+    assert m["predictions_compared"] > 0
 
     # fixture record -> identical rerun passes -> corruption trips
     fix = tmp_path / "fixtures" / "1.5"
