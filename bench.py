@@ -290,7 +290,15 @@ def _serving_setup(s, rows: int, *, codec_buckets, int8: bool, horizon: int = 16
     sampling = SamplingArgs(
         temp=0.7, top_p=0.8, top_k=256, repetition_penalty=1.4
     )
-    batcher = ContinuousBatcher(engine, sampling, horizon=horizon)
+    # central batched vocoding is the serving default (one B-row vocode
+    # program per tick); --client-vocode A/Bs the per-request-session
+    # consumption it replaced
+    central = "--client-vocode" not in sys.argv
+    batcher = ContinuousBatcher(
+        engine, sampling, horizon=horizon,
+        codec=codec if central else None,
+        shift_fn=_shift_output_tokens_fish15 if central else None,
+    )
     return n_frames, engine, codec, batcher
 
 
@@ -308,13 +316,17 @@ def bench_ttfa_burst(rows: int = 16, trials: int = 3) -> None:
 
     s = _setup_fish15()
     from fish_speech_tpu.config import WhichLM
-    from fish_speech_tpu.generate.continuous import _PartialFrames
+    from fish_speech_tpu.generate.continuous import (
+        _PartialFrames,
+        _PartialPCM,
+    )
 
     horizon = 16
     n_frames, engine, codec, batcher = _serving_setup(
         s, rows, codec_buckets=(horizon,), int8=False, horizon=horizon
     )
     make_prompt = s.make_prompt
+    central = batcher._central is not None
 
     def drain(req):
         for _ in req:
@@ -326,14 +338,22 @@ def bench_ttfa_burst(rows: int = 16, trials: int = 3) -> None:
         drains = []
 
         def worker(i):
-            stream = codec.start_stream(max_step_frames=horizon)
+            stream = (
+                None if central
+                else codec.start_stream(max_step_frames=horizon)
+            )
             barrier.wait()  # all requests hit the queue together
             t0 = time.perf_counter()
             req = batcher.submit(
-                [make_prompt()], cond_len=0, max_new=n_frames, stream=True
+                [make_prompt()], cond_len=0, max_new=n_frames,
+                stream=True, deliver_pcm=central,
             )
             for ev in req.iter_events():
-                if isinstance(ev, _PartialFrames):
+                if central:
+                    if isinstance(ev, _PartialPCM) and ev.pcm.shape[-1]:
+                        ttfas[i] = time.perf_counter() - t0
+                        break
+                elif isinstance(ev, _PartialFrames):
                     pcm = stream.feed(_shift_output_tokens_fish15(ev.frames[1:]))
                     if pcm.shape[-1]:
                         ttfas[i] = time.perf_counter() - t0
@@ -411,7 +431,12 @@ def bench_continuous(rows: int = 16) -> None:
         s, rows, codec_buckets=(128,), int8=int8
     )
     make_prompt = s.make_prompt
-    from fish_speech_tpu.generate.continuous import _PartialFrames
+    from fish_speech_tpu.generate.continuous import (
+        _PartialFrames,
+        _PartialPCM,
+    )
+
+    central = batcher._central is not None
 
     def run_request(i, out, t_start):
         t0 = time.perf_counter()
@@ -426,12 +451,26 @@ def bench_continuous(rows: int = 16) -> None:
                 pcm = codec.decode(codes)[0]  # vocode off the scheduler thread
                 frames += codes.shape[1]
                 audio_s += pcm.shape[-1] / codec.sample_rate
+        elif central:
+            # serving default: stream delivery with CENTRAL BATCHED
+            # vocoding — the batcher feeds one B-row carried-state vocode
+            # program per tick and delivers PCM events (continuous.py::
+            # _CentralVocoder); low_latency=False keeps full-horizon
+            # scheduling (TTFA short ticks are measured by --ttfa-burst)
+            req = batcher.submit(
+                [make_prompt()], cond_len=0, max_new=n_frames,
+                deliver_pcm=True, low_latency=False,
+            )
+            frames = 0
+            audio_s = 0.0
+            for ev in req.iter_events():
+                if isinstance(ev, _PartialPCM):
+                    frames += ev.frames
+                    audio_s += ev.pcm.shape[-1] / codec.sample_rate
         else:
-            # serving default (pipeline.synthesize_streaming_continuous):
-            # stream delivery + carried-state vocode in THIS thread, so
-            # each tick's frames are PCM while later ticks still decode;
-            # low_latency=False keeps full-horizon scheduling (no TTFA
-            # short ticks — that path is measured by --ttfa-burst)
+            # --client-vocode: the pre-central consumption — stream
+            # delivery + a per-request carried-state session vocoding in
+            # THIS thread (B separate vocode programs per tick)
             req = batcher.submit(
                 [make_prompt()], cond_len=0, max_new=n_frames,
                 stream=True, low_latency=False,
@@ -481,7 +520,8 @@ def bench_continuous(rows: int = 16) -> None:
             {
                 "metric": f"continuous_{rows}way_per_request_rtf_p50"
                 + ("_int8" if int8 else "")
-                + ("_blocking" if blocking else ""),
+                + ("_blocking" if blocking else "")
+                + ("" if central or blocking else "_client_vocode"),
                 "value": round(p50_rtf, 4),
                 "unit": "ratio_lower_is_better",
                 "vs_baseline": round(1.0 / p50_rtf, 3),
@@ -1259,7 +1299,10 @@ def bench_ttfa_loaded(rows: int = 16, trials: int = 5) -> None:
     everything queued ahead of it)."""
     s = _setup_fish15()
     from fish_speech_tpu.config import WhichLM
-    from fish_speech_tpu.generate.continuous import _PartialFrames
+    from fish_speech_tpu.generate.continuous import (
+        _PartialFrames,
+        _PartialPCM,
+    )
 
     horizon = 16
     n_frames, engine, codec, batcher = _serving_setup(
@@ -1283,14 +1326,22 @@ def bench_ttfa_loaded(rows: int = 16, trials: int = 5) -> None:
         for t in threads:
             t.start()
         time.sleep(0.15)  # let the background rows enter steady decode
-        stream = codec.start_stream(max_step_frames=horizon)
+        central = batcher._central is not None
+        stream = (
+            None if central else codec.start_stream(max_step_frames=horizon)
+        )
         t0 = time.perf_counter()
         req = batcher.submit(
-            [make_prompt()], cond_len=0, max_new=n_frames, stream=True
+            [make_prompt()], cond_len=0, max_new=n_frames,
+            stream=True, deliver_pcm=central,
         )
         ttfa = None
         for ev in req.iter_events():
-            if isinstance(ev, _PartialFrames):
+            if central:
+                if isinstance(ev, _PartialPCM) and ev.pcm.shape[-1]:
+                    ttfa = time.perf_counter() - t0
+                    break
+            elif isinstance(ev, _PartialFrames):
                 pcm = stream.feed(_shift_output_tokens_fish15(ev.frames[1:]))
                 if pcm.shape[-1]:
                     ttfa = time.perf_counter() - t0

@@ -74,6 +74,17 @@ class _PartialFrames:
     frames: np.ndarray  # (C+1, t) — semantic row + codebook rows
 
 
+@dataclasses.dataclass
+class _PartialPCM:
+    """Streaming event of a deliver_pcm request: PCM for `frames` code
+    frames, vocoded centrally by the batcher's ONE batched carried-state
+    session (see _CentralVocoder). Concatenating a chunk's _PartialPCM
+    payloads equals the codec's whole-sequence decode of that chunk."""
+
+    pcm: np.ndarray  # (frames * samples_per_frame,) float32
+    frames: int
+
+
 class BatchedRequest:
     """Handle returned by ContinuousBatcher.submit: iterate to receive one
     _ChunkResult per text chunk, in order."""
@@ -87,11 +98,13 @@ class BatchedRequest:
         sampling: Optional[SamplingArgs] = None,
         seed: Optional[int] = None,
         low_latency: Optional[bool] = None,
+        deliver_pcm: bool = False,
     ):
         self.prompts = prompts
         self.cond_len = cond_len
         self.max_new = max_new
-        self.stream = stream
+        self.stream = stream or deliver_pcm
+        self.deliver_pcm = deliver_pcm
         # stream controls DELIVERY (per-tick _PartialFrames events);
         # low_latency controls SCHEDULING (short admission + cooldown
         # ticks so first audio beats a full horizon). They default
@@ -148,6 +161,11 @@ class _RowState:
         self.sent_segs = 0  # segments already sent as _PartialFrames
         self.budget = 0
         self.active = False  # row currently decoding a chunk
+        # central-vocode (deliver_pcm) bookkeeping
+        self.pcm = False  # PCM delivery through the batched vocoder
+        self.ending = False  # chunk decoded; PCM drain still pending
+        self.held_final: Optional[_ChunkResult] = None
+        self.release_row = False  # free the slot once drained
 
 
 @dataclasses.dataclass
@@ -179,6 +197,291 @@ class _Inflight:
     steps: jax.Array
 
 
+class _CentralVocoder:
+    """Batched carried-state vocoder owned by the scheduler thread.
+
+    WHY: at 16-way serving the vocoder (not the LM) dominates aggregate
+    device time, and per-request streaming sessions make it worse two
+    ways (both measured on v5e, scripts/probe_vocode_shapes.py): B
+    separate (1, C, 16) vocode programs per tick cost 1.10 ms/frame-row
+    of device time where ONE batched (16, C, 16) program costs 0.19 —
+    a 5.7x batching win — and every request fetches float32 PCM over
+    the device link (~83 ms per 2 MB tick through the axon tunnel,
+    ~0.7 s per 16-way wave — comparable to ALL the decode compute).
+    Here every tick feeds one batched carried-state decode program, PCM
+    crosses the wire as device-converted INT16 (halving the bytes; the
+    reference's own output format is 16-bit PCM, wav.rs:27-58), and
+    the fetch runs in a dedicated delivery thread so the wire transfer
+    overlaps device compute instead of stalling the scheduler. The
+    reference has no counterpart (it vocodes whole chunks after
+    generation, handlers/speech.rs:115-130).
+
+    Correctness contract: each row (lane) of the stacked state is an
+    independent stream (conv tails / overlap-add carries batch on
+    axis 0), so feeding t frames advances every lane by t. Uniform-t
+    feeds are reconciled with ragged per-row availability by small
+    host-side pending queues: t = min(pending over mid-stream lanes),
+    so a CONTINUING lane always consumes exactly real frames (zero-pad
+    would corrupt its carried state), while ENDING lanes (chunk fully
+    decoded) may be right-padded — the decode path is causal, so pad
+    frames cannot alter the real frames' samples (the same property
+    feed_async's pad_to relies on), and their lane is reset before its
+    next chunk anyway. Lane resets (fresh session per text chunk, the
+    per-request-session semantics) are one jitted where(mask, template,
+    state) program.
+
+    Threading: the scheduler thread owns lanes/pending/state and does
+    every dispatch; the delivery thread only fetches finished device
+    arrays and puts events on request queues. Slot handoff (held chunk
+    results, row release) crosses threads through queues, and the
+    scheduler frees rows on its next tick (_drain_releases) so row
+    state is single-writer."""
+
+    def __init__(self, batcher: "ContinuousBatcher", codec, shift_fn):
+        import collections
+
+        self.batcher = batcher
+        self.codec = codec
+        self.shift = shift_fn if shift_fn is not None else (lambda c: c)
+        b = batcher.engine.batch_size
+        self.b = b
+        self.n_codebooks = batcher.engine.cfg.num_codebooks
+        self.session = codec.start_stream(
+            batch=b, max_step_frames=batcher.horizon
+        )
+        self.max_step = self.session.max_step
+        self.spf = codec.samples_per_frame
+        self.pend = [collections.deque() for _ in range(b)]  # (C, t) segs
+        self.pend_n = [0] * b
+        self.reset_mask = np.zeros(b, bool)
+        self.lanes: dict = {}  # row -> _RowState currently streaming PCM
+        self._reset_jit = jax.jit(
+            lambda st, tpl, m: jax.tree.map(
+                lambda a, z: jnp.where(
+                    m.reshape((-1,) + (1,) * (a.ndim - 1)), z, a
+                ),
+                st,
+                tpl,
+            )
+        )
+        self._i16_jit: dict = {}  # audio shape -> device int16 converter
+        # delivery pipeline: scheduler enqueues (futures, meta); the
+        # delivery thread fetches and emits events
+        self._dq: "queue.Queue[Optional[tuple]]" = queue.Queue()
+        self.released: "queue.Queue[_RowState]" = queue.Queue()
+        self._thread = threading.Thread(
+            target=self._deliver_loop, daemon=True
+        )
+        self._thread.start()
+
+    def _to_i16(self, audio):
+        key = audio.shape
+        fn = self._i16_jit.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda a: jnp.clip(
+                    jnp.round(a.astype(jnp.float32) * 32767.0),
+                    -32768,
+                    32767,
+                ).astype(jnp.int16)
+            )
+            self._i16_jit[key] = fn
+        return fn(audio)
+
+    def enable_row(self, slot: "_RowState") -> None:
+        """Chunk admission on a deliver_pcm request: claim the lane and
+        schedule its state reset (fresh vocoder stream per text chunk)."""
+        r = slot.row
+        self.lanes[r] = slot
+        self.reset_mask[r] = True
+        self.pend[r].clear()
+        self.pend_n[r] = 0
+        slot.pcm = True
+        slot.ending = False
+
+    def push(self, slot: "_RowState", seg: np.ndarray) -> None:
+        """Queue one (C+1, t) token segment (semantic row dropped, codec
+        shift applied) for the slot's lane."""
+        codes = np.ascontiguousarray(self.shift(np.asarray(seg)[1:]))
+        if codes.shape[-1] == 0:
+            return
+        self.pend[slot.row].append(codes)
+        self.pend_n[slot.row] += codes.shape[-1]
+
+    def has_work(self) -> bool:
+        return bool(self.lanes) or self._dq.unfinished_tasks > 0
+
+    def warmup(self) -> None:
+        """Compile every pow2 feed shape, the int16 wire conversion, and
+        the reset program on a scratch state (the template is immutable;
+        session state is untouched)."""
+        st = self.session.state
+        zeros = np.zeros((self.b, self.n_codebooks, self.max_step), np.int32)
+        p = 1
+        while p <= self.max_step:
+            audio, _ = self.codec.decode_step_async(zeros[..., :p], st)
+            jax.block_until_ready(self._to_i16(audio))
+            p *= 2
+        mask = jnp.zeros((self.b,), bool)
+        jax.block_until_ready(
+            self._reset_jit(st, self.session._template(), mask)
+        )
+
+    def tick(self) -> None:
+        """Assemble and dispatch at most one batched feed; hand the
+        int16 PCM futures to the delivery thread."""
+        mids = [r for r, s in self.lanes.items() if not s.ending]
+        ends = [r for r, s in self.lanes.items() if s.ending]
+        if mids:
+            t = min(self.pend_n[r] for r in mids)
+        elif ends:
+            t = min(max(self.pend_n[r] for r in ends), self.max_step)
+        else:
+            t = 0
+        if t <= 0:
+            # ending lanes that are already fully fed: route their held
+            # chunk results through the delivery queue (ordering)
+            finals = [
+                (self.lanes.pop(r), 0, True)
+                for r in list(self.lanes)
+                if self.lanes[r].ending and self.pend_n[r] == 0
+            ]
+            if finals:
+                self._dq.put(([], finals))
+            return
+        buf = np.zeros((self.b, self.n_codebooks, t), np.int32)
+        meta = []
+        for r in list(self.lanes):
+            slot = self.lanes[r]
+            take = min(self.pend_n[r], t)
+            if take:
+                q = self.pend[r]
+                need = take
+                parts = []
+                while need:
+                    seg = q[0]
+                    if seg.shape[-1] <= need:
+                        parts.append(seg)
+                        q.popleft()
+                        need -= seg.shape[-1]
+                    else:
+                        parts.append(seg[:, :need])
+                        q[0] = seg[:, need:]
+                        need = 0
+                self.pend_n[r] -= take
+                buf[r, :, :take] = (
+                    parts[0]
+                    if len(parts) == 1
+                    else np.concatenate(parts, axis=-1)
+                )
+            final = slot.ending and self.pend_n[r] == 0
+            if final:
+                self.lanes.pop(r)  # no further feeds for this chunk
+            meta.append((slot, take, final))
+        if self.reset_mask.any():
+            self.session.state = self._reset_jit(
+                self.session.state,
+                self.session._template(),
+                jnp.asarray(self.reset_mask),
+            )
+            self.reset_mask[:] = False
+        futures = []
+        s = 0
+        while s < t:
+            step = min(self.max_step, t - s)
+            step = 1 << (step.bit_length() - 1)
+            audio, self.session.state = self.codec.decode_step_async(
+                buf[..., s : s + step], self.session.state
+            )
+            futures.append(self._to_i16(audio))
+            s += step
+        self._dq.put((futures, meta))
+
+    def _deliver_loop(self) -> None:
+        # The wire transfer is the measured 16-way bottleneck through
+        # the remote-device tunnel (122-188 ms per 1 MB tick fetch under
+        # load, scripts/trace_central16.py), and a single fetch stream
+        # underuses it (16 concurrent client sessions measured ~2x the
+        # single-stream throughput). So: up to K tick fetches run
+        # concurrently in a small pool while THIS thread emits strictly
+        # in tick order — per-request PCM ordering is preserved because
+        # every lane's frames pass through the same ordered tick stream.
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        k = 3
+        pool = ThreadPoolExecutor(max_workers=k, thread_name_prefix="vfetch")
+        pending: collections.deque = collections.deque()
+        stop = False
+        try:
+            while True:
+                while not stop and len(pending) < k:
+                    try:
+                        item = self._dq.get(block=not pending)
+                    except queue.Empty:
+                        break
+                    if item is None:
+                        stop = True
+                        self._dq.task_done()
+                        break
+                    futures, meta = item
+                    pending.append(
+                        (pool.submit(jax.device_get, futures), meta)
+                    )
+                if not pending:
+                    if stop:
+                        return
+                    continue
+                fut, meta = pending.popleft()
+                try:
+                    arrs = fut.result()
+                    pcm = None
+                    if arrs:
+                        pcm = (
+                            arrs[0]
+                            if len(arrs) == 1
+                            else np.concatenate(arrs, axis=-1)
+                        )  # (B, t * spf) int16
+                    for slot, take, final in meta:
+                        if take:
+                            f32 = (
+                                pcm[slot.row, : take * self.spf].astype(
+                                    np.float32
+                                )
+                                / 32767.0
+                            )
+                            slot.req.results.put(
+                                _PartialPCM(pcm=f32, frames=take)
+                            )
+                        if final:
+                            held, slot.held_final = slot.held_final, None
+                            if held is not None:
+                                slot.req.results.put(held)
+                            self.released.put(slot)
+                except Exception as e:  # noqa: BLE001 — release waiters
+                    logger.exception("central vocoder delivery died")
+                    for slot, _take, _final in meta:
+                        slot.req.error = e
+                        slot.req.results.put(None)
+                finally:
+                    self._dq.task_done()
+        finally:
+            pool.shutdown(wait=False)
+
+    def drain(self, timeout: float = 30.0) -> None:
+        """Block until every enqueued delivery has been emitted."""
+        deadline = time.monotonic() + timeout
+        while self._dq.unfinished_tasks > 0:
+            if time.monotonic() > deadline:
+                logger.error("central vocoder drain timed out")
+                return
+            time.sleep(0.001)
+
+    def shutdown(self) -> None:
+        self._dq.put(None)
+        self._thread.join(timeout=10)
+
+
 class ContinuousBatcher:
     def __init__(
         self,
@@ -189,6 +492,8 @@ class ContinuousBatcher:
         admit_horizon: int = 3,
         admit_cooldown: int = 2,
         shard_state=None,
+        codec=None,
+        shift_fn=None,
     ) -> None:
         """engine must be built with batch_size == number of decode rows
         (BASELINE configs target 16 for the 16-concurrent-request serving
@@ -198,7 +503,15 @@ class ContinuousBatcher:
         multi-chip serving — e.g. parallel.mesh.shard_gen_state to spread
         decode rows over a dp axis (with the engine's params sharded via
         shard_lm_params). Shardings live on the arrays themselves, so the
-        scheduler thread needs no mesh context."""
+        scheduler thread needs no mesh context.
+
+        codec + shift_fn: enable CENTRAL BATCHED VOCODING — requests
+        submitted with deliver_pcm=True receive _PartialPCM events
+        produced by ONE batched carried-state vocode program per tick
+        instead of vocoding client-side (see _CentralVocoder). codec
+        must expose start_stream/decode_step_async (Firefly 1.4+/Mimi);
+        shift_fn maps raw LM codebook tokens to the codec's index space
+        (the per-version ±1, pipeline._shift_output_tokens)."""
         self.engine = engine
         self.sampling = sampling
         self.horizon = horizon
@@ -237,6 +550,9 @@ class ContinuousBatcher:
         self.state = self.state._replace(
             done=self.state.done.at[:].set(True)
         )
+        self._central: Optional[_CentralVocoder] = None
+        if codec is not None and getattr(codec, "can_stream", False):
+            self._central = _CentralVocoder(self, codec, shift_fn)
         self.rows: List[Optional[_RowState]] = [None] * engine.batch_size
         # bumped on every admission/finish of the row; tags dispatches so
         # speculative frames from a superseded chunk are discarded
@@ -258,15 +574,24 @@ class ContinuousBatcher:
         sampling: Optional[SamplingArgs] = None,
         seed: Optional[int] = None,
         low_latency: Optional[bool] = None,
+        deliver_pcm: bool = False,
     ) -> BatchedRequest:
         """sampling/seed are honored per request on dynamic_sampling
         engines (device operands — no recompiles); a static engine
         serves every request with the batcher's compiled-in config.
         low_latency (default: stream) opts the admission into the
-        short-tick TTFA path; see BatchedRequest."""
+        short-tick TTFA path; see BatchedRequest.
+        deliver_pcm=True (requires the batcher's codec) streams
+        _PartialPCM events vocoded centrally by the batched session."""
+        if deliver_pcm and self._central is None:
+            raise ValueError(
+                "deliver_pcm requires a streaming codec on the batcher "
+                "(ContinuousBatcher(..., codec=..., shift_fn=...))"
+            )
         req = BatchedRequest(
             prompts, cond_len, max_new, stream=stream,
             sampling=sampling, seed=seed, low_latency=low_latency,
+            deliver_pcm=deliver_pcm,
         )
         self.queue.put(req)
         self._wake.set()
@@ -282,6 +607,8 @@ class ContinuousBatcher:
         self._stop = True
         self._wake.set()
         self._thread.join(timeout=10)
+        if self._central is not None:
+            self._central.shutdown()
         if self._thread.is_alive():
             # Scheduler wedged (e.g. device hang mid device_get): its own
             # exit drain will never run, so release clients blocked on
@@ -314,6 +641,11 @@ class ContinuousBatcher:
         conditioned request prefills at offset = conditioning length,
         which is a distinct jit key per bucketed attention extent."""
         eng = self.engine
+        if self._central is not None:
+            # every pow2 batched-vocode feed shape + the lane-reset
+            # program, on a scratch state (before the scheduler-path
+            # requests below exercise the real session)
+            self._central.warmup()
         c = eng.cfg.num_codebooks
         seen = set()
         for bucket in eng.prompt_buckets:
@@ -334,9 +666,14 @@ class ContinuousBatcher:
                 # max_new spans the short admit tick, the cooldown short
                 # ticks, AND one full-horizon tick, so BOTH decode-chunk
                 # programs compile here; stream=True because only fresh
-                # STREAMING admissions trigger the short-tick path
+                # STREAMING admissions trigger the short-tick path;
+                # deliver_pcm routes it through the central vocoder so
+                # the scheduler-side PCM machinery is exercised too
                 budget = self.admit_horizon * (1 + self.admit_cooldown) + 4
-                for _ in self.submit(prompts, cond, budget, stream=True):
+                for _ in self.submit(
+                    prompts, cond, budget, stream=True,
+                    deliver_pcm=self._central is not None,
+                ):
                     pass
         # burst-admission shapes: a cold wave admits new requests in
         # power-of-two groups through prefill_rows (distinct jit shape
@@ -371,8 +708,11 @@ class ContinuousBatcher:
         dispatch instead of 16 sequential ones. Next-chunk admissions
         keep the per-row path (their offsets differ per request)."""
         admits: List[_AdmitGroup] = []
+        self._drain_releases()
         for slot in self.rows:
-            if slot is not None and not slot.active:
+            # ending slots (PCM drain pending) keep their row reserved
+            # until the central vocoder retires them
+            if slot is not None and not slot.active and not slot.ending:
                 admits.append(self._start_chunk(slot))
         placements: List[_RowState] = []
         for r in range(len(self.rows)):
@@ -406,6 +746,22 @@ class ContinuousBatcher:
                 s += g
             i = j + 1
         return admits
+
+    def _drain_releases(self) -> None:
+        """Apply row releases signaled by the central vocoder's delivery
+        thread (rows stay single-writer: only this scheduler thread
+        mutates self.rows)."""
+        if self._central is None:
+            return
+        while True:
+            try:
+                slot = self._central.released.get_nowait()
+            except queue.Empty:
+                return
+            slot.ending = False
+            slot.pcm = False
+            if slot.release_row:
+                self.rows[slot.row] = None
 
     def _req_sampling(self, req: BatchedRequest) -> SamplingArgs:
         """Effective sampling for one request: its own on dynamic
@@ -444,6 +800,8 @@ class ContinuousBatcher:
             )
             slot.active = True
             self.epoch[slot.row] += 1
+            if slot.req.deliver_pcm:
+                self._central.enable_row(slot)
         self.state, frames, eoses = self.engine.prefill_rows(
             self.state, prompts, self.sampling, slots[0].row,
             per_row=[
@@ -475,12 +833,23 @@ class ContinuousBatcher:
         slot.budget = max(budget, 0)
         slot.active = True
         self.epoch[slot.row] += 1
+        if req.deliver_pcm:
+            self._central.enable_row(slot)
         return _AdmitGroup([slot], [self.epoch[slot.row]], frame, is_eos)
 
     def _flush_partial(self, slot: _RowState) -> None:
         """Send frames decoded since the last event to a stream=True
         request (sub-chunk latency: one event per scheduler tick)."""
         if not slot.req.stream or slot.sent_segs >= len(slot.segs):
+            return
+        if slot.pcm:
+            # central vocoding: queue segments for the batched session
+            # instead of emitting token events (PCM events are delivered
+            # by _CentralVocoder.tick; no scheduler yield needed — the
+            # vocode dispatch happens in this thread, not a client's)
+            for seg in slot.segs[slot.sent_segs :]:
+                self._central.push(slot, seg)
+            slot.sent_segs = len(slot.segs)
             return
         if slot.sent_segs == 0 and slot.req.low_latency:
             # a low-latency request's FIRST audio event: the scheduler
@@ -502,11 +871,12 @@ class ContinuousBatcher:
             slot.segs[0]
             if len(slot.segs) == 1
             else np.concatenate(slot.segs, axis=1)
+            if slot.segs
+            else np.zeros((0, 0), np.int32)
         )  # (C+1, T)
-        slot.req.results.put(
-            _ChunkResult(
-                tokens=stacked[1:], semantic=stacked[0], hit_max=hit_max
-            )
+        result = _ChunkResult(
+            tokens=stacked[1:], semantic=stacked[0] if stacked.size else
+            np.zeros((0,), np.int32), hit_max=hit_max,
         )
         slot.active = False
         slot.segs = []
@@ -517,7 +887,18 @@ class ContinuousBatcher:
         self.state = self.state._replace(
             done=self.state.done.at[slot.row].set(True)
         )
-        if slot.chunk_idx + 1 >= len(slot.req.prompts):
+        last = slot.chunk_idx + 1 >= len(slot.req.prompts)
+        if slot.pcm:
+            # hold the chunk result (and the row) until the central
+            # vocoder drains the lane's pending frames — PCM events must
+            # precede the chunk boundary, and a new admission must not
+            # reset the lane mid-drain
+            slot.ending = True
+            slot.held_final = result
+            slot.release_row = last
+            return
+        slot.req.results.put(result)
+        if last:
             self.rows[slot.row] = None  # request complete; free the row
         # else: row stays reserved; next chunk admitted on the next tick
 
@@ -628,6 +1009,11 @@ class ContinuousBatcher:
         for slot, epoch in flight.snapshot:
             if slot.active and self.epoch[slot.row] == epoch:
                 self._flush_partial(slot)
+        # one batched vocode feed for every deliver_pcm lane (dispatched
+        # behind the already-queued next decode chunk; the PREVIOUS
+        # feed's PCM — long since computed — is fetched and delivered)
+        if self._central is not None and self._central.has_work():
+            self._central.tick()
 
     def _run(self) -> None:
         pending: Optional[_Inflight] = None
@@ -656,10 +1042,33 @@ class ContinuousBatcher:
                         self._first_flush = False
                         time.sleep(0.002)
                 pending = flight
-                if pending is None and not self._any_active():
-                    continue
+                if pending is None:
+                    # no decode work: keep feeding/retiring PCM lanes and
+                    # applying delivery-thread releases (last requests of
+                    # a wave)
+                    if self._central is not None:
+                        self._drain_releases()
+                        if self._central.has_work():
+                            self._central.tick()
+                            time.sleep(0.001)
+                    if not self._any_active():
+                        continue
             if pending is not None:
                 self._process(pending)
+            if self._central is not None:
+                # deliver held chunk results before the sentinel sweep
+                # (bounded: each tick drains >= one pow2 piece of every
+                # ending lane; mid-stream lanes cut off by shutdown are
+                # released by the sentinels below)
+                for _ in range(64):
+                    self._drain_releases()
+                    if not any(
+                        s is not None and s.ending for s in self.rows
+                    ):
+                        break
+                    self._central.tick()
+                    self._central.drain(timeout=5.0)
+                self._drain_releases()
             # clean shutdown: release clients still waiting for chunks
             # (in-flight rows and queued requests would otherwise block
             # forever in BatchedRequest.__iter__)

@@ -517,9 +517,17 @@ class TTSPipeline:
             from fish_speech_tpu.parallel.mesh import shard_gen_state
 
             shard_state = lambda s: shard_gen_state(s, e.mesh, e.cfg)  # noqa: E731
+        # central batched vocoding: streamable codecs vocode deliver_pcm
+        # requests through ONE B-row carried-state program per tick
+        # (continuous._CentralVocoder) instead of per-request sessions
+        central = getattr(self.codec, "can_stream", False) and hasattr(
+            self.codec, "decode_step_async"
+        )
         return ContinuousBatcher(
             engine, self.default_sampling, horizon=horizon,
             shard_state=shard_state,
+            codec=self.codec if central else None,
+            shift_fn=self._shift_output_tokens if central else None,
         )
 
     def synthesize_streaming_continuous(
@@ -568,8 +576,32 @@ class TTSPipeline:
                 codes = self._shift_output_tokens(chunk.tokens)
                 yield self.codec.decode(codes)[0]
             return
-        from fish_speech_tpu.generate.continuous import _PartialFrames
+        from fish_speech_tpu.generate.continuous import (
+            _PartialFrames,
+            _PartialPCM,
+        )
 
+        if batcher._central is not None:
+            # central batched vocoding: the batcher delivers PCM events
+            # (one B-row vocode program per tick shared by every
+            # deliver_pcm request — continuous._CentralVocoder)
+            req = batcher.submit(
+                encoded, n_cond, max_new,
+                deliver_pcm=True, low_latency=False,
+                sampling=sampling, seed=seed,
+            )
+            parts = []
+            for ev in req.iter_events():
+                if isinstance(ev, _PartialPCM):
+                    parts.append(ev.pcm)
+                elif not isinstance(ev, _PartialFrames):
+                    yield (
+                        np.concatenate(parts)
+                        if parts
+                        else np.zeros((0,), np.float32)
+                    )
+                    parts = []
+            return
         req = batcher.submit(
             encoded, n_cond, max_new,
             stream=True, low_latency=False, sampling=sampling, seed=seed,
@@ -624,8 +656,23 @@ class TTSPipeline:
             cached_speaker=voice_conditioning,
             assume_kv_cache=True,
         )
-        from fish_speech_tpu.generate.continuous import _PartialFrames
+        from fish_speech_tpu.generate.continuous import (
+            _PartialFrames,
+            _PartialPCM,
+        )
 
+        if batcher._central is not None:
+            # central batched vocoding with low-latency scheduling: PCM
+            # events arrive per tick, first audio behind a short admit
+            # chunk (the batcher fetches a chunk's first PCM immediately)
+            req = batcher.submit(
+                encoded, n_cond, max_new_tokens or self.max_new_tokens,
+                deliver_pcm=True, sampling=sampling, seed=seed,
+            )
+            for ev in req.iter_events():
+                if isinstance(ev, _PartialPCM):
+                    yield ev.pcm
+            return
         req = batcher.submit(
             encoded, n_cond, max_new_tokens or self.max_new_tokens,
             stream=True, sampling=sampling, seed=seed,
